@@ -1,0 +1,114 @@
+"""Training CLI for the nf_tpu normalizing-flows framework.
+
+Usage (parity with /root/reference/main.py:287-355 and its Hydra tree):
+
+    python main.py network=realnvp run.distrib=moons train.steps=1000
+
+Any config field can be overridden with dotted key=value tokens; see
+nf_tpu/config.py for the tree.  The run directory is
+``logs/<network>_<distrib>_<timestamp>``.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import numpy as np
+
+from nf_tpu.config import parse_cli, to_dict
+from nf_tpu.data import FlowDataLoader
+from nf_tpu.models import build_model
+from nf_tpu.parallel import make_mesh
+from nf_tpu.train import Trainer, load_checkpoint, save_checkpoint
+from nf_tpu.train.metrics import MetricWriter
+from nf_tpu.train.report import report
+from nf_tpu.utils import Logging
+
+logger = Logging(__file__)
+
+
+def main(argv=None):
+    cfg = parse_cli(sys.argv[1:] if argv is None else argv)
+    print("***** parameters ****")
+    print(json.dumps(to_dict(cfg), indent=2))
+    print("*********************\n")
+
+    if cfg.run.debug:
+        jax.config.update("jax_debug_nans", True)
+
+    # persistent XLA compilation cache: first-step compiles of deep chains
+    # are expensive (minutes via the remote-tunnel backend); cache them.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_comp_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    run_dir = os.path.join(
+        "logs", f"{cfg.network.name}_{cfg.run.distrib}_"
+        + time.strftime("%Y-%m-%d_%H-%M-%S"))
+    os.makedirs(run_dir, exist_ok=True)
+
+    dataset = FlowDataLoader(
+        cfg.run.distrib,
+        batch_size=cfg.train.samples,
+        total_steps=cfg.train.steps,
+        shuffle=True,
+        seed=cfg.run.seed,
+        data_root=cfg.run.data_root,
+        shard_id=jax.process_index(),
+        num_shards=jax.process_count(),
+    )
+
+    model = build_model(cfg.network.name, dataset.dims,
+                        datatype=dataset.dtype, cfg=cfg.network)
+    mesh = make_mesh() if jax.device_count() > 1 else None
+    trainer = Trainer(model, cfg.optimizer, mesh=mesh, seed=cfg.run.seed)
+
+    key = jax.random.PRNGKey(cfg.run.seed)
+    ts = trainer.init_state(key, dataset.next_batch())
+
+    start_step = 0
+    if cfg.run.ckpt_path is not None:
+        ts, start_step = load_checkpoint(cfg.run.ckpt_path, ts)
+        logger.info(f"resumed from {cfg.run.ckpt_path} at step {start_step}")
+
+    writer = MetricWriter(run_dir)
+    display = cfg.run.display
+    step = start_step
+    logger.info(f"training {cfg.network.name} on {cfg.run.distrib} "
+                f"({jax.device_count()} devices, run dir {run_dir})")
+
+    for data in dataset:
+        t0 = time.perf_counter()
+        ts, loss = trainer.train_step(ts, data)
+        step += 1
+
+        if step == start_step + 1 or step % (display * 10) == 0:
+            loss_val = float(loss)  # device sync only on log ticks
+            dt = time.perf_counter() - t0
+            logger.info(f"[{step}/{cfg.train.steps}] loss={loss_val:.5f} "
+                        f"[{dt:.3f} s/it]")
+
+        if step == start_step + 1 or step % (display * 100) == 0:
+            writer.scalar(f"{dataset.dtype}/train/loss", float(loss), step)
+            save_files = step % (display * 1000) == 0 or step == start_step + 1
+            report(trainer, ts, writer, data, step, run_dir,
+                   save_files=save_files, name=cfg.network.name)
+            writer.flush()
+
+        if step == start_step + 1 or step % (display * 1000) == 0:
+            save_checkpoint(os.path.join(run_dir, "latest.npz"), ts, step)
+
+    save_checkpoint(os.path.join(run_dir, "latest.npz"), ts, step)
+    writer.close()
+    logger.info("done")
+    return run_dir
+
+
+if __name__ == "__main__":
+    main()

@@ -99,18 +99,25 @@ class BatchNorm(Bijector):
 
     def init(self, key):
         c = self.num_channels
-        zeros, ones = jnp.zeros((c,), jnp.float32), jnp.ones((c,), jnp.float32)
-        params = {"log_gamma": zeros, "beta": zeros} if self.affine else {}
+
+        # distinct arrays per leaf: donated buffers must be unique
+        def zeros():
+            return jnp.zeros((c,), jnp.float32)
+
+        def ones():
+            return jnp.ones((c,), jnp.float32)
+
+        params = {"log_gamma": zeros(), "beta": zeros()} if self.affine else {}
         state = {
-            "running_mean": zeros,
-            "running_var": ones,
-            "batch_mean": zeros,
-            "batch_var": ones,
+            "running_mean": zeros(),
+            "running_var": ones(),
+            "batch_mean": zeros(),
+            "batch_var": ones(),
         }
         if not self.affine:
             # non-trainable affine identity kept in state for uniform math
-            state["log_gamma"] = zeros
-            state["beta"] = zeros
+            state["log_gamma"] = zeros()
+            state["beta"] = zeros()
         return {"params": params, "state": state}
 
     def _gamma_beta(self, var):

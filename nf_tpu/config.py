@@ -1,0 +1,126 @@
+"""Config system: nested dataclasses + dotted-path CLI overrides.
+
+Capability parity with the reference's Hydra tree
+(/root/reference/configs/default.yaml, configs/network/*.yaml) without the
+Hydra dependency: ``network=<name>`` swaps the per-model config group, and
+any field can be overridden with ``a.b=value`` tokens.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass
+class NetworkConfig:
+    name: str = "realnvp"
+    layers: int = 32
+    # flow++ (configs/network/flow++.yaml)
+    mixtures: int = 8
+    # resflow (configs/network/resflow.yaml)
+    logdet: str = "unbias"
+    spnorm_coeff: float = 0.9
+    # ffjord (configs/network/ffjord.yaml)
+    t0: float = 0.0
+    t1: float = 1.0
+    stepsize: float = 0.1
+    solver: str = "dopri5"
+    backprop: str = "adjoint"
+    trace: str = "hutchinson"
+    # conditioner width (reference MLP/ConvNet base_filters=32)
+    base_filters: int = 32
+
+
+# per-network defaults mirroring configs/network/*.yaml
+NETWORK_DEFAULTS = {
+    "planar": dict(layers=32),
+    "realnvp": dict(layers=32),
+    "glow": dict(layers=32),
+    "flow++": dict(layers=32, mixtures=8),
+    "maf": dict(layers=32),
+    "resflow": dict(layers=32, logdet="unbias", spnorm_coeff=0.9),
+    "ffjord": dict(layers=3, t0=0.0, t1=1.0, stepsize=0.1, solver="dopri5",
+                   backprop="adjoint", trace="hutchinson"),
+}
+
+
+@dataclass
+class TrainConfig:
+    steps: int = 100000
+    samples: int = 1024  # batch size (reference name)
+
+
+@dataclass
+class OptimizerConfig:
+    name: str = "adam"
+    lr: float = 1.0e-4
+    beta1: float = 0.9
+    beta2: float = 0.999
+    weight_decay: float = 0.0
+    decay_steps: int = 10000
+    decay_ratio: float = 0.5
+
+
+@dataclass
+class RunConfig:
+    debug: bool = False
+    distrib: str = "circles"
+    ckpt_path: Optional[str] = None
+    output: str = "outputs"
+    display: int = 1
+    seed: int = 42
+    data_root: str = "data"
+
+
+@dataclass
+class Config:
+    network: NetworkConfig = field(default_factory=NetworkConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+    run: RunConfig = field(default_factory=RunConfig)
+
+
+def _coerce(current, value: str):
+    if isinstance(current, bool) or value.lower() in ("true", "false"):
+        return value.lower() == "true"
+    if value.lower() in ("null", "none"):
+        return None
+    for typ in (int, float):
+        try:
+            return typ(value)
+        except ValueError:
+            continue
+    return value
+
+
+def parse_cli(argv) -> Config:
+    """Parse ``key=value`` overrides (e.g. network=glow run.distrib=moons)."""
+    cfg = Config()
+    # first pass: select network group so its defaults apply before overrides
+    for tok in argv:
+        if tok.startswith("network="):
+            name = tok.split("=", 1)[1]
+            if name not in NETWORK_DEFAULTS:
+                raise ValueError(f"unknown network {name!r}; "
+                                 f"choose from {sorted(NETWORK_DEFAULTS)}")
+            cfg.network = NetworkConfig(name=name, **NETWORK_DEFAULTS[name])
+    for tok in argv:
+        if "=" not in tok:
+            raise ValueError(f"override must be key=value, got {tok!r}")
+        path, value = tok.split("=", 1)
+        if path == "network":
+            continue
+        parts = path.split(".")
+        obj = cfg
+        for p in parts[:-1]:
+            obj = getattr(obj, p)
+        leaf = parts[-1]
+        if not hasattr(obj, leaf):
+            raise ValueError(f"unknown config key {path!r}")
+        setattr(obj, leaf, _coerce(getattr(obj, leaf), value))
+    return cfg
+
+
+def to_dict(cfg) -> dict:
+    return dataclasses.asdict(cfg)

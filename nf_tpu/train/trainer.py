@@ -1,0 +1,143 @@
+"""Training engine: optimizer, jitted/sharded train step, sampling, eval.
+
+Behavior parity: the ``Model`` class at /root/reference/main.py:38-133 —
+Adam/RMSprop with step-decay LR, mean-NLL loss in nats, sampling and density
+evaluation — re-designed TPU-first:
+  * one fused, jitted train step (forward + NLL + grad + optimizer update +
+    state update) with donated buffers — no per-step host sync;
+  * optional device mesh: the batch axis is sharded over the mesh's 'data'
+    axis and parameters are replicated, so the same step function runs
+    single-chip or multi-chip (XLA inserts the psum for the gradient
+    all-reduce over ICI);
+  * explicit PRNG threading (per-step fold_in) for stochastic estimators.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.bijector import Ctx
+from ..models.base import FlowModel
+
+
+class TrainState(NamedTuple):
+    params: Any
+    state: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def make_optimizer(cfg) -> optax.GradientTransformation:
+    """Adam/RMSprop + staircase step decay (reference StepLR, main.py:56-70)."""
+    schedule = optax.exponential_decay(
+        init_value=cfg.lr,
+        transition_steps=cfg.decay_steps,
+        decay_rate=cfg.decay_ratio,
+        staircase=True,
+    )
+    if cfg.name == "adam":
+        opt = optax.adam(schedule, b1=cfg.beta1, b2=cfg.beta2)
+    elif cfg.name == "rmsprop":
+        opt = optax.rmsprop(schedule)
+    else:
+        raise ValueError(f"unsupported optimizer {cfg.name!r}")
+    if cfg.weight_decay > 0.0:
+        opt = optax.chain(optax.add_decayed_weights(cfg.weight_decay), opt)
+    return opt
+
+
+class Trainer:
+    def __init__(self, model: FlowModel, opt_cfg, mesh=None, seed: int = 42):
+        self.model = model
+        self.optimizer = make_optimizer(opt_cfg)
+        self.mesh = mesh
+        self.base_key = jax.random.PRNGKey(seed)
+        if jax.process_count() > 1:
+            self.base_key = jax.random.fold_in(self.base_key, jax.process_index())
+
+        self._train_step = self._build_train_step()
+        self._eval_logp = jax.jit(self._eval_logp_fn)
+        self._sample = jax.jit(self._sample_fn, static_argnums=(2,))
+        self._fwd = jax.jit(self._fwd_fn)
+
+    # ------------------------------------------------------------------ init
+    def init_state(self, key: jax.Array, sample_batch=None) -> TrainState:
+        var = self.model.init(key)
+        if sample_batch is not None:
+            var = self.model.data_dependent_init(
+                var, jnp.asarray(sample_batch), rng=jax.random.fold_in(key, 1))
+        opt_state = self.optimizer.init(var["params"])
+        ts = TrainState(var["params"], var["state"], opt_state,
+                        jnp.zeros((), jnp.int32))
+        if self.mesh is not None:
+            from ..parallel.sharding import replicate
+            ts = replicate(ts, self.mesh)
+        return ts
+
+    # ------------------------------------------------------------ step fns
+    def _loss_fn(self, params, state, batch, rng):
+        var = {"params": params, "state": state}
+        logp, new_state = self.model.log_prob(var, batch, Ctx(rng=rng, train=True))
+        return -jnp.mean(logp), new_state
+
+    def _step_fn(self, ts: TrainState, batch, base_key):
+        rng = jax.random.fold_in(base_key, ts.step)
+        (loss, new_state), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
+            ts.params, ts.state, batch, rng)
+        updates, opt_state = self.optimizer.update(grads, ts.opt_state, ts.params)
+        params = optax.apply_updates(ts.params, updates)
+        return TrainState(params, new_state, opt_state, ts.step + 1), loss
+
+    def _build_train_step(self):
+        if self.mesh is None:
+            return jax.jit(self._step_fn, donate_argnums=(0,))
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        batch_sharding = NamedSharding(self.mesh, P("data"))
+        rep = NamedSharding(self.mesh, P())
+        return jax.jit(
+            self._step_fn,
+            donate_argnums=(0,),
+            in_shardings=(None, batch_sharding, rep),
+            out_shardings=(None, rep),
+        )
+
+    def _eval_logp_fn(self, params, state, batch):
+        var = {"params": params, "state": state}
+        logp, _ = self.model.log_prob(var, batch, Ctx(rng=None, train=False))
+        return logp
+
+    def _fwd_fn(self, params, state, batch):
+        var = {"params": params, "state": state}
+        z, logdet, _ = self.model.forward(var, batch, Ctx(rng=None, train=False))
+        return z, logdet
+
+    def _sample_fn(self, ts: TrainState, key, n: int):
+        var = {"params": ts.params, "state": ts.state}
+        y, log_py, _ = self.model.sample(var, key, n, Ctx(rng=key, train=False))
+        return y, log_py
+
+    # ------------------------------------------------------------- public
+    def train_step(self, ts: TrainState, batch) -> tuple:
+        batch = self._device_put_batch(batch)
+        return self._train_step(ts, batch, self.base_key)
+
+    def _device_put_batch(self, batch):
+        batch = jnp.asarray(batch)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            batch = jax.device_put(batch, NamedSharding(self.mesh, P("data")))
+        return batch
+
+    def log_prob(self, ts: TrainState, batch):
+        return self._eval_logp(ts.params, ts.state, jnp.asarray(batch))
+
+    def forward(self, ts: TrainState, batch):
+        return self._fwd(ts.params, ts.state, jnp.asarray(batch))
+
+    def sample(self, ts: TrainState, key, n: int):
+        return self._sample(ts, key, n)

@@ -1,0 +1,92 @@
+"""Coupling layers: round-trip, exact logdet, split/merge bijectivity."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nf_tpu.core import Ctx
+from nf_tpu.bijectors.coupling import (AdditiveCoupling, AffineCoupling,
+                                       merge1d, split1d)
+from nf_tpu.ops import squeeze as sq
+
+
+def autodiff_logdet(fn, x):
+    def single(xi):
+        J = jax.jacfwd(fn)(xi)
+        J = J.reshape(xi.size, xi.size)
+        return jnp.linalg.slogdet(J)[1]
+    return jax.vmap(single)(x)
+
+
+@pytest.mark.parametrize("odd", [False, True])
+@pytest.mark.parametrize("cls", [AdditiveCoupling, AffineCoupling])
+def test_coupling_1d_roundtrip(cls, odd, rng):
+    bij = cls((2,), odd=odd)
+    var = bij.init(rng)
+    ctx = Ctx(train=False)
+    x = jax.random.normal(jax.random.fold_in(rng, 1), (32, 2))
+    y, ld_f, _ = bij.forward(var, x, ctx)
+    x2, ld_i, _ = bij.inverse(var, y, ctx)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ld_f), -np.asarray(ld_i), atol=1e-5)
+
+
+def test_affine_coupling_logdet_exact(rng):
+    bij = AffineCoupling((4,), odd=False)
+    var = bij.init(rng)
+    ctx = Ctx(train=False)
+    x = jax.random.normal(jax.random.fold_in(rng, 1), (8, 4))
+    y, ld, _ = bij.forward(var, x, ctx)
+    # eval mode -> deterministic map; compare against dense jacobian.
+    # conditioner BatchNorm in eval uses running stats, so per-sample
+    # jacobians are exact.
+    ld_exact = autodiff_logdet(lambda v: bij.forward(var, v[None], ctx)[0][0], x)
+    np.testing.assert_allclose(np.asarray(ld), np.asarray(ld_exact), atol=1e-4)
+
+
+@pytest.mark.parametrize("odd", [False, True])
+def test_split1d_odd_dims(odd, rng):
+    x = jax.random.normal(rng, (4, 5))
+    z0, z1 = split1d(x, odd)
+    assert z0.shape[1] + z1.shape[1] == 5
+    x2 = merge1d(z0, z1, odd)
+    np.testing.assert_array_equal(np.asarray(x2), np.asarray(x))
+
+
+@pytest.mark.parametrize("odd", [False, True])
+def test_checker_split_merge(odd, rng):
+    x = jax.random.normal(rng, (2, 8, 8, 3))
+    z0, z1 = sq.checker_split(x, odd)
+    assert z0.shape == (2, 4, 4, 6)
+    x2 = sq.checker_merge(z0, z1, odd)
+    np.testing.assert_array_equal(np.asarray(x2), np.asarray(x))
+
+
+@pytest.mark.parametrize("odd", [False, True])
+def test_squeeze2d_roundtrip(odd, rng):
+    x = jax.random.normal(rng, (2, 8, 8, 3))
+    z0, z1 = sq.squeeze2d(x, odd)
+    x2 = sq.unsqueeze2d(z0, z1, odd)
+    np.testing.assert_array_equal(np.asarray(x2), np.asarray(x))
+
+
+def test_checker_split_is_checkerboard():
+    """z0 must collect the (i+j) even cells, z1 the odd cells."""
+    H = W = 4
+    x = jnp.arange(H * W, dtype=jnp.float32).reshape(1, H, W, 1)
+    z0, z1 = sq.checker_split(x, odd=False)
+    vals0 = set(np.asarray(z0).ravel().astype(int).tolist())
+    expect0 = {i * W + j for i in range(H) for j in range(W) if (i + j) % 2 == 0}
+    assert vals0 == expect0
+
+
+@pytest.mark.parametrize("masking", ["checkerboard", "channelwise"])
+def test_coupling_image_roundtrip(masking, rng):
+    bij = AffineCoupling((4, 4, 4), masking=masking, odd=False, base_filters=8)
+    var = bij.init(rng)
+    ctx = Ctx(train=False)
+    x = jax.random.normal(jax.random.fold_in(rng, 1), (2, 4, 4, 4))
+    y, ld_f, _ = bij.forward(var, x, ctx)
+    x2, ld_i, _ = bij.inverse(var, y, ctx)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ld_f), -np.asarray(ld_i), atol=1e-5)

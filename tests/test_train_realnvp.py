@@ -1,0 +1,107 @@
+"""End-to-end M1 slice: RealNVP density on moons — train, eval, ckpt, shard."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nf_tpu.config import Config, NetworkConfig
+from nf_tpu.core import Ctx
+from nf_tpu.data import FlowDataLoader
+from nf_tpu.models import build_model
+from nf_tpu.parallel import make_mesh
+from nf_tpu.train import Trainer, load_checkpoint, save_checkpoint
+
+
+def small_cfg(layers=4):
+    cfg = Config()
+    cfg.network = NetworkConfig(name="realnvp", layers=layers, base_filters=16)
+    return cfg
+
+
+def test_realnvp_forward_inverse(rng):
+    cfg = small_cfg()
+    model = build_model("realnvp", (2,), datatype="2d", cfg=cfg.network)
+    var = model.init(rng)
+    x = jax.random.normal(jax.random.fold_in(rng, 1), (16, 2))
+    ctx = Ctx(train=False)
+    z, ld, _ = model.forward(var, x, ctx)
+    x2, ld_i, _ = model.inverse(var, z, ctx)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ld), -np.asarray(ld_i), atol=1e-4)
+
+
+def test_realnvp_trains_on_moons(rng):
+    cfg = small_cfg()
+    cfg.optimizer.lr = 1e-3
+    model = build_model("realnvp", (2,), datatype="2d", cfg=cfg.network)
+    tr = Trainer(model, cfg.optimizer, seed=0)
+    dl = FlowDataLoader("moons", batch_size=512, total_steps=201, seed=0)
+    ts = tr.init_state(rng, dl.next_batch())
+
+    losses = []
+    for batch in dl:
+        ts, loss = tr.train_step(ts, batch)
+        losses.append(float(loss))
+    assert int(ts.step) == 201
+    # NLL must drop materially from the start (moons NLL starts ~2-3 nats)
+    assert np.mean(losses[-20:]) < np.mean(losses[:5]) - 0.3, (
+        losses[:5], losses[-20:])
+    assert np.isfinite(losses).all()
+
+
+def test_checkpoint_roundtrip(rng, tmp_path):
+    cfg = small_cfg(layers=2)
+    model = build_model("realnvp", (2,), datatype="2d", cfg=cfg.network)
+    tr = Trainer(model, cfg.optimizer, seed=0)
+    dl = FlowDataLoader("moons", batch_size=128, total_steps=3, seed=0)
+    ts = tr.init_state(rng, dl.next_batch())
+    for batch in dl:
+        ts, _ = tr.train_step(ts, batch)
+
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, ts, int(ts.step))
+    ts2, step = load_checkpoint(path, ts)
+    assert step == int(ts.step)
+    x = dl.next_batch()
+    np.testing.assert_allclose(np.asarray(tr.log_prob(ts, x)),
+                               np.asarray(tr.log_prob(ts2, x)), atol=1e-6)
+
+
+def test_sharded_matches_single_device(rng):
+    """Loss/grads on an 8-device 'data' mesh must match single-device."""
+    cfg = small_cfg(layers=2)
+    model = build_model("realnvp", (2,), datatype="2d", cfg=cfg.network)
+    dl = FlowDataLoader("moons", batch_size=256, total_steps=4, seed=0)
+    first = dl.next_batch()
+    batches = [dl.next_batch() for _ in range(3)]
+
+    tr1 = Trainer(model, cfg.optimizer, mesh=None, seed=0)
+    ts1 = tr1.init_state(rng, first)
+    mesh = make_mesh()
+    trN = Trainer(model, cfg.optimizer, mesh=mesh, seed=0)
+    tsN = trN.init_state(rng, first)
+
+    for b in batches:
+        ts1, loss1 = tr1.train_step(ts1, b)
+        tsN, lossN = trN.train_step(tsN, b)
+        # global-batch loss must agree up to f32 reduction-order noise
+        np.testing.assert_allclose(float(loss1), float(lossN), rtol=2e-5)
+    # held-out densities must agree closely after training.  (Raw params are
+    # NOT compared: adam's m/sqrt(v) near zero-gradient is an O(1) amplifier
+    # of reduction-order noise, so elementwise param equality is not a
+    # meaningful parity criterion.)
+    x = dl.next_batch()
+    np.testing.assert_allclose(np.asarray(tr1.log_prob(ts1, x)),
+                               np.asarray(trN.log_prob(tsN, x)), atol=5e-4)
+
+
+def test_sampling_produces_data_like_points(rng):
+    cfg = small_cfg(layers=2)
+    model = build_model("realnvp", (2,), datatype="2d", cfg=cfg.network)
+    tr = Trainer(model, cfg.optimizer, seed=0)
+    dl = FlowDataLoader("moons", batch_size=128, total_steps=1, seed=0)
+    ts = tr.init_state(rng, dl.next_batch())
+    y, log_py, = tr.sample(ts, jax.random.PRNGKey(3), 64)
+    assert y.shape == (64, 2)
+    assert np.isfinite(np.asarray(y)).all()
+    assert np.isfinite(np.asarray(log_py)).all()

@@ -18,6 +18,7 @@ import time
 import jax
 import numpy as np
 
+from nf_tpu.parallel.distributed import init_distributed
 from nf_tpu.config import parse_cli, to_dict
 from nf_tpu.data import FlowDataLoader
 from nf_tpu.models import build_model
@@ -31,6 +32,7 @@ logger = Logging(__file__)
 
 
 def main(argv=None):
+    init_distributed()  # no-op on a single host
     cfg = parse_cli(sys.argv[1:] if argv is None else argv)
     print("***** parameters ****")
     print(json.dumps(to_dict(cfg), indent=2))
@@ -66,6 +68,10 @@ def main(argv=None):
 
     model = build_model(cfg.network.name, dataset.dims,
                         datatype=dataset.dtype, cfg=cfg.network)
+    if cfg.run.debug:
+        # wrap every layer with in-graph NaN/Inf probes (SURVEY.md §5.2)
+        from nf_tpu.utils.debug import check_chain
+        model.bijector = check_chain(model.bijector)
     mesh = make_mesh() if jax.device_count() > 1 else None
     trainer = Trainer(model, cfg.optimizer, mesh=mesh, seed=cfg.run.seed)
 

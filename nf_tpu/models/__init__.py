@@ -7,16 +7,22 @@ construction entry point.
 from __future__ import annotations
 
 from .base import FlowModel  # noqa: F401
+from .ffjord import build_ffjord
+from .flowpp import build_flowpp
 from .glow import build_glow
 from .maf import build_maf
 from .planar import build_planar
 from .realnvp import build_realnvp
+from .resflow import build_resflow
 
 _REGISTRY = {
     "planar": build_planar,
     "realnvp": build_realnvp,
     "glow": build_glow,
+    "flow++": build_flowpp,
     "maf": build_maf,
+    "resflow": build_resflow,
+    "ffjord": build_ffjord,
 }
 
 

@@ -1,0 +1,57 @@
+"""Flow++ model builder.
+
+Behavior parity: /root/reference/flows/flowpp.py:9-78 —
+  * density: n x [ActNorm -> MixLogAttnCoupling];
+  * image: Logit(0.01), multi-scale loop with ActNorm + InvertibleConv1x1 +
+    MixLogAttnCoupling per step (checkerboard / channelwise as RealNVP/Glow).
+"""
+from __future__ import annotations
+
+from ..bijectors.conv1x1 import InvertibleConv1x1
+from ..bijectors.elementwise import Logit
+from ..bijectors.flowpp_coupling import MixLogAttnCoupling
+from ..bijectors.norm import ActNorm
+from ..bijectors.squeeze import Squeeze2d, Unsqueeze2d
+from ..core.bijector import Chain
+from .base import FlowModel
+
+
+def build_flowpp(dims, datatype=None, cfg=None) -> FlowModel:
+    n_layers = cfg.layers
+    bf = getattr(cfg, "base_filters", 32)
+    K = cfg.mixtures
+    layers = []
+    if datatype == "image":
+        h, w, c = dims
+        layers.append(Logit(eps=0.01))
+        mid = (h, w, c)
+        while max(mid[0], mid[1]) > 8:
+            for i in range(n_layers):
+                layers.append(ActNorm(mid[2]))
+                layers.append(InvertibleConv1x1(mid[2]))
+                layers.append(MixLogAttnCoupling(
+                    mid, masking="checkerboard", odd=i % 2 != 0,
+                    base_filters=bf, n_mixtures=K))
+            layers.append(Squeeze2d(odd=False))
+            mid = (mid[0] // 2, mid[1] // 2, mid[2] * 4)
+            for i in range(n_layers):
+                layers.append(ActNorm(mid[2]))
+                layers.append(InvertibleConv1x1(mid[2]))
+                layers.append(MixLogAttnCoupling(
+                    mid, masking="channelwise", odd=i % 2 != 0,
+                    base_filters=bf, n_mixtures=K))
+        for i in range(n_layers + 1):
+            layers.append(ActNorm(mid[2]))
+            layers.append(InvertibleConv1x1(mid[2]))
+            layers.append(MixLogAttnCoupling(
+                mid, masking="checkerboard", odd=i % 2 != 0,
+                base_filters=bf, n_mixtures=K))
+        while mid[0] != h or mid[1] != w:
+            layers.append(Unsqueeze2d(odd=False))
+            mid = (mid[0] * 2, mid[1] * 2, mid[2] // 4)
+    else:
+        for i in range(n_layers):
+            layers.append(ActNorm(dims[-1]))
+            layers.append(MixLogAttnCoupling(
+                dims, odd=i % 2 != 0, base_filters=bf, n_mixtures=K))
+    return FlowModel("flow++", Chain(layers), dims)

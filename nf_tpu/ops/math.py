@@ -74,17 +74,19 @@ def logistic_logcdf(x, mu, s):
 def mix_logistic_logpdf(x, logpi, mu, s):
     """log pdf of a K-mixture of logistics.
 
-    ``x``: (B, ...); ``logpi, mu, s``: (B, K, ...) with normalized logpi
-    (log-softmax over axis 1). Computed with logsumexp for stability.
+    ``x``: (...); ``logpi, mu, s``: (..., K) with normalized logpi
+    (log-softmax over the last axis).  Mixture on the minor-most axis keeps
+    the logsumexp reduction in the TPU lane dimension.  Computed in
+    log-space (parity: flows/modules.py:76-97).
     """
-    x = jnp.expand_dims(x, 1)
-    return jax.scipy.special.logsumexp(logpi + logistic_logpdf(x, mu, s), axis=1)
+    x = x[..., None]
+    return jax.scipy.special.logsumexp(logpi + logistic_logpdf(x, mu, s), axis=-1)
 
 
 def mix_logistic_logcdf(x, logpi, mu, s):
     """log cdf of a K-mixture of logistics; same conventions as logpdf."""
-    x = jnp.expand_dims(x, 1)
-    return jax.scipy.special.logsumexp(logpi + logistic_logcdf(x, mu, s), axis=1)
+    x = x[..., None]
+    return jax.scipy.special.logsumexp(logpi + logistic_logcdf(x, mu, s), axis=-1)
 
 
 def sum_except_batch(x):

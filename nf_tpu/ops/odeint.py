@@ -148,8 +148,11 @@ def _adaptive_step(tab, func, t, x, dt):
     sums = _tm(_sq, x_err, x, dx)
     total = sum(jax.tree_util.tree_leaves(_tm(lambda s: s[0], sums, is_leaf=lambda n: isinstance(n, tuple))))
     count = sum(jax.tree_util.tree_leaves(_tm(lambda s: s[1], sums, is_leaf=lambda n: isinstance(n, tuple))))
-    err_norm = jnp.sqrt(total / count)
-    dt_new = dt * (0.5 / jnp.maximum(err_norm, 1e-10)) ** (1.0 / tab.order)
+    # step-size control is a discrete decision: do not differentiate through
+    # it (sqrt at 0 would NaN the backward pass of masked no-op steps)
+    err_norm = jax.lax.stop_gradient(jnp.sqrt(jnp.maximum(total / count, 1e-24)))
+    dt_new = jax.lax.stop_gradient(
+        dt * (0.5 / jnp.maximum(err_norm, 1e-10)) ** (1.0 / tab.order))
     return dx, err_norm, dt_new
 
 

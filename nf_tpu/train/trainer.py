@@ -75,8 +75,8 @@ class Trainer:
         ts = TrainState(var["params"], var["state"], opt_state,
                         jnp.zeros((), jnp.int32))
         if self.mesh is not None:
-            from ..parallel.sharding import replicate
-            ts = replicate(ts, self.mesh)
+            from ..parallel.sharding import shard_train_state
+            ts = shard_train_state(ts, self.mesh)
         return ts
 
     # ------------------------------------------------------------ step fns

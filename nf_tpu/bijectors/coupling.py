@@ -143,16 +143,25 @@ class AffineCoupling(_CouplingBase):
         raw, net_state = self.net.apply(sub, z1, ctx.child(0))
         # channel-last layout: first out_chs channels are t, rest raw-s
         t = raw[..., : self.out_chs]
-        s = jnp.tanh(raw[..., self.out_chs :])
-        s = s * var["params"]["s_log_scale"] + var["params"]["s_bias"]
-        return t, s, {"net": net_state}
+        raw_s = raw[..., self.out_chs :]
+        return t, raw_s, {"net": net_state}
+
+    @staticmethod
+    def _flat2d(x):
+        return x.reshape(x.shape[0], -1)
 
     def _transform(self, var, z0, z1, ctx):
-        t, s, state = self._params_st(var, z1, ctx)
-        z0 = z0 * jnp.exp(s) + t
-        return z0, sum_except_batch(s), state
+        t, raw_s, state = self._params_st(var, z1, ctx)
+        gain = var["params"]["s_log_scale"]
+        bias = var["params"]["s_bias"]
+        from ..ops.pallas.coupling import coupling_fwd
+
+        y_flat, ld = coupling_fwd(self._flat2d(z0), self._flat2d(t),
+                                  self._flat2d(raw_s), gain, bias)
+        return y_flat.reshape(z0.shape), ld, state
 
     def _inverse_transform(self, var, y0, y1, ctx):
-        t, s, state = self._params_st(var, y1, ctx)
+        t, raw_s, state = self._params_st(var, y1, ctx)
+        s = jnp.tanh(raw_s) * var["params"]["s_log_scale"] + var["params"]["s_bias"]
         y0 = (y0 - t) * jnp.exp(-s)
         return y0, -sum_except_batch(s), state

@@ -127,11 +127,15 @@ class GatedAttn(Net):
             return t.reshape(B, L, h, D).transpose(0, 2, 1, 3)
 
         V, K, Q = heads_of(v_), heads_of(k_), heads_of(q_)
-        # scores[l1, l2] = <V[l1], K[l2]> / sqrt(D); softmax over l1
-        scores = jnp.einsum("bhld,bhmd->bhlm", V, K) / np.sqrt(D)
-        W = jax.nn.softmax(scores, axis=2)
-        A = jnp.einsum("bhld,bhlm->bhmd", Q, W)  # (B, h, L, D)
-        A = A.transpose(0, 2, 1, 3).reshape(B, L, f)
+        # the reference's softmax(V^T K) @ Q is standard attention with the
+        # roles permuted: A = attn(query=K, key=V, value=Q).  The fused
+        # Pallas kernel (ops/pallas/attention.py) keeps the LxL scores in
+        # VMEM on TPU; jnp fallback elsewhere.
+        from ..ops.pallas.attention import attention
+
+        A = attention(K.reshape(B * h, L, D), V.reshape(B * h, L, D),
+                      Q.reshape(B * h, L, D))
+        A = A.reshape(B, h, L, D).transpose(0, 2, 1, 3).reshape(B, L, f)
 
         y = A @ p["w_out"] + p["b_out"]  # (B, L, 2C)
         out = y[..., :C] * jax.nn.sigmoid(y[..., C:])

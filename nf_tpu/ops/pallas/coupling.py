@@ -1,0 +1,124 @@
+"""Fused affine-coupling transform kernel.
+
+Computes, in one VMEM pass over (B, N) half-tensors:
+    s  = tanh(raw_s) * gain + bias
+    y0 = z0 * exp(s) + t
+    ld = row_sum(s)
+(the transform at /root/reference/flows/coupling.py:104-112).  XLA already
+fuses most of this chain into the conditioner epilogue; the kernel
+additionally fuses the row-sum reduction and guarantees a single HBM read
+per operand.  Inverse variant computes x0 = (y0 - t) * exp(-s), ld = -sum.
+
+Used for image-scale tensors (N >= 128 lanes); the jnp path remains the
+reference and the fallback.  Gradients: custom_vjp with analytic formulas
+(elementwise), avoiding any recompute.
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+_BLOCK_B = 256
+
+
+def _fwd_kernel(z0_ref, t_ref, raw_ref, gb_ref, y_ref, ld_ref):
+    gain = gb_ref[0, 0]
+    bias = gb_ref[0, 1]
+    s = jnp.tanh(raw_ref[:]) * gain + bias
+    y_ref[:] = z0_ref[:] * jnp.exp(s) + t_ref[:]
+    ld_ref[:] = jnp.sum(s, axis=1, keepdims=True)
+
+
+def _inv_kernel(y0_ref, t_ref, raw_ref, gb_ref, x_ref, ld_ref):
+    gain = gb_ref[0, 0]
+    bias = gb_ref[0, 1]
+    s = jnp.tanh(raw_ref[:]) * gain + bias
+    x_ref[:] = (y0_ref[:] - t_ref[:]) * jnp.exp(-s)
+    ld_ref[:] = -jnp.sum(s, axis=1, keepdims=True)
+
+
+def _call(kernel, z0, t, raw_s, gain, bias, interpret=False):
+    B, N = z0.shape
+    bb = min(_BLOCK_B, B)
+    grid = ((B + bb - 1) // bb,)
+    dat = pl.BlockSpec((bb, N), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    gb = jnp.stack([jnp.reshape(gain, ()), jnp.reshape(bias, ())])[None, :]
+    y, ld = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[dat, dat, dat,
+                  pl.BlockSpec((1, 2), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM)],
+        out_specs=[dat, pl.BlockSpec((bb, 1), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((B, N), jnp.float32),
+                   jax.ShapeDtypeStruct((B, 1), jnp.float32)],
+        interpret=interpret,
+    )(z0, t, raw_s, gb)
+    return y, ld[:, 0]
+
+
+def coupling_fwd_pallas(z0, t, raw_s, gain, bias, interpret=False):
+    return _call(_fwd_kernel, z0, t, raw_s, gain, bias, interpret)
+
+
+def coupling_inv_pallas(y0, t, raw_s, gain, bias, interpret=False):
+    return _call(_inv_kernel, y0, t, raw_s, gain, bias, interpret)
+
+
+def coupling_fwd_reference(z0, t, raw_s, gain, bias):
+    s = jnp.tanh(raw_s) * gain + bias
+    return z0 * jnp.exp(s) + t, jnp.sum(s, axis=1)
+
+
+def coupling_inv_reference(y0, t, raw_s, gain, bias):
+    s = jnp.tanh(raw_s) * gain + bias
+    return (y0 - t) * jnp.exp(-s), -jnp.sum(s, axis=1)
+
+
+@jax.custom_vjp
+def _coupling_fwd_fused(z0, t, raw_s, gain, bias):
+    return coupling_fwd_pallas(z0, t, raw_s, gain, bias)
+
+
+def _cf_fwd(z0, t, raw_s, gain, bias):
+    out = coupling_fwd_pallas(z0, t, raw_s, gain, bias)
+    return out, (z0, raw_s, gain, bias)
+
+
+def _cf_bwd(res, cts):
+    z0, raw_s, gain, bias = res
+    gy, gld = cts
+    th = jnp.tanh(raw_s)
+    s = th * gain + bias
+    es = jnp.exp(s)
+    # dL/ds from both outputs: y = z0*e^s + t and ld = sum(s)
+    ds = gy * z0 * es + gld[:, None]
+    dth = ds * gain
+    draw = dth * (1.0 - th * th)
+    dgain = jnp.sum(ds * th).reshape(jnp.shape(gain))
+    dbias = jnp.sum(ds).reshape(jnp.shape(bias))
+    return (gy * es, gy, draw, dgain, dbias)
+
+
+_coupling_fwd_fused.defvjp(_cf_fwd, _cf_bwd)
+
+
+def coupling_fwd(z0, t, raw_s, gain, bias):
+    """Dispatch: Pallas on TPU for lane-aligned shapes, jnp otherwise."""
+    use = (_HAS_PALLAS and os.environ.get("NF_TPU_NO_PALLAS") != "1"
+           and jax.default_backend() == "tpu" and z0.ndim == 2
+           and z0.shape[1] % 128 == 0)
+    if use:
+        return _coupling_fwd_fused(z0, t, raw_s, gain, bias)
+    return coupling_fwd_reference(z0, t, raw_s, gain, bias)

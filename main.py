@@ -89,25 +89,47 @@ def main(argv=None):
     logger.info(f"training {cfg.network.name} on {cfg.run.distrib} "
                 f"({jax.device_count()} devices, run dir {run_dir})")
 
-    for data in dataset:
+    chunk = max(1, int(cfg.train.chunk))
+    data_iter = iter(dataset)
+    done = False
+    while not done:
         t0 = time.perf_counter()
-        ts, loss = trainer.train_step(ts, data)
-        step += 1
+        if chunk == 1:
+            try:
+                data = next(data_iter)
+            except StopIteration:
+                break
+            ts, loss = trainer.train_step(ts, data)
+            step += 1
+        else:
+            stack = []
+            for _ in range(chunk):
+                try:
+                    stack.append(next(data_iter))
+                except StopIteration:
+                    done = True
+                    break
+            if not stack:
+                break
+            data = stack[-1]
+            ts, losses = trainer.train_steps(ts, np.stack(stack))
+            loss = losses[-1]
+            step += len(stack)
 
-        if step == start_step + 1 or step % (display * 10) == 0:
+        if step <= start_step + chunk or step % (display * 10) < chunk:
             loss_val = float(loss)  # device sync only on log ticks
-            dt = time.perf_counter() - t0
+            dt = (time.perf_counter() - t0) / chunk
             logger.info(f"[{step}/{cfg.train.steps}] loss={loss_val:.5f} "
                         f"[{dt:.3f} s/it]")
 
-        if step == start_step + 1 or step % (display * 100) == 0:
+        if step <= start_step + chunk or step % (display * 100) < chunk:
             writer.scalar(f"{dataset.dtype}/train/loss", float(loss), step)
-            save_files = step % (display * 1000) == 0 or step == start_step + 1
+            save_files = step % (display * 1000) < chunk or step <= start_step + chunk
             report(trainer, ts, writer, data, step, run_dir,
                    save_files=save_files, name=cfg.network.name)
             writer.flush()
 
-        if step == start_step + 1 or step % (display * 1000) == 0:
+        if step <= start_step + chunk or step % (display * 1000) < chunk:
             save_checkpoint(os.path.join(run_dir, "latest.npz"), ts, step)
 
     save_checkpoint(os.path.join(run_dir, "latest.npz"), ts, step)

@@ -49,6 +49,10 @@ NETWORK_DEFAULTS = {
 class TrainConfig:
     steps: int = 100000
     samples: int = 1024  # batch size (reference name)
+    # optimizer steps fused into one device dispatch (lax.scan); >1
+    # amortizes dispatch latency — logging/report cadence coarsens to
+    # chunk granularity
+    chunk: int = 1
 
 
 @dataclass

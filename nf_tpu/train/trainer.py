@@ -61,6 +61,7 @@ class Trainer:
             self.base_key = jax.random.fold_in(self.base_key, jax.process_index())
 
         self._train_step = self._build_train_step()
+        self._train_chunk = jax.jit(self._chunk_fn, donate_argnums=(0,))
         self._eval_logp = jax.jit(self._eval_logp_fn)
         self._sample = jax.jit(self._sample_fn, static_argnums=(2,))
         self._fwd = jax.jit(self._fwd_fn)
@@ -74,6 +75,12 @@ class Trainer:
         opt_state = self.optimizer.init(var["params"])
         ts = TrainState(var["params"], var["state"], opt_state,
                         jnp.zeros((), jnp.int32))
+        if jax.process_count() > 1:
+            # data-dependent init ran on this host's local batch; make the
+            # starting state identical everywhere (host-0 wins) before
+            # replicating — otherwise params silently diverge per process
+            from jax.experimental import multihost_utils
+            ts = multihost_utils.broadcast_one_to_all(ts)
         if self.mesh is not None:
             from ..parallel.sharding import shard_train_state
             ts = shard_train_state(ts, self.mesh)
@@ -106,6 +113,20 @@ class Trainer:
             out_shardings=(None, rep),
         )
 
+    def _chunk_fn(self, ts: TrainState, batches, base_key):
+        """K fused optimizer steps under one dispatch (lax.scan).
+
+        ``batches``: (K, B, ...) pre-staged on device.  Amortizes host->
+        device dispatch latency — the dominant cost for small models over
+        a remote-tunnel backend — by ~K x.  Returns (ts, losses[K]).
+        """
+
+        def body(carry, batch):
+            carry, loss = self._step_fn(carry, batch, base_key)
+            return carry, loss
+
+        return jax.lax.scan(body, ts, batches)
+
     def _eval_logp_fn(self, params, state, batch):
         var = {"params": params, "state": state}
         logp, _ = self.model.log_prob(var, batch, Ctx(rng=None, train=False))
@@ -125,6 +146,16 @@ class Trainer:
     def train_step(self, ts: TrainState, batch) -> tuple:
         batch = self._device_put_batch(batch)
         return self._train_step(ts, batch, self.base_key)
+
+    def train_steps(self, ts: TrainState, batches) -> tuple:
+        """Run K steps in one dispatch; ``batches`` is (K, B, ...).
+        Returns (ts, losses[K])."""
+        batches = jnp.asarray(batches)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            batches = jax.device_put(
+                batches, NamedSharding(self.mesh, P(None, "data")))
+        return self._train_chunk(ts, batches, self.base_key)
 
     def _device_put_batch(self, batch):
         batch = jnp.asarray(batch)

@@ -105,3 +105,26 @@ def test_sampling_produces_data_like_points(rng):
     assert y.shape == (64, 2)
     assert np.isfinite(np.asarray(y)).all()
     assert np.isfinite(np.asarray(log_py)).all()
+
+
+def test_chunked_steps_match_sequential(rng):
+    """K scan-fused steps must equal K individual steps (same PRNG path)."""
+    cfg = small_cfg(layers=2)
+    model = build_model("realnvp", (2,), datatype="2d", cfg=cfg.network)
+    dl = FlowDataLoader("moons", batch_size=128, total_steps=6, seed=0)
+    first = dl.next_batch()
+    batches = np.stack([dl.next_batch() for _ in range(4)])
+
+    tr_a = Trainer(model, cfg.optimizer, seed=0)
+    ts_a = tr_a.init_state(rng, first)
+    for b in batches:
+        ts_a, loss_a = tr_a.train_step(ts_a, b)
+
+    tr_b = Trainer(model, cfg.optimizer, seed=0)
+    ts_b = tr_b.init_state(rng, first)
+    ts_b, losses = tr_b.train_steps(ts_b, batches)
+
+    np.testing.assert_allclose(float(loss_a), float(losses[-1]), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(ts_a.params),
+                    jax.tree_util.tree_leaves(ts_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -124,7 +124,9 @@ def main(argv=None):
 
         if step <= start_step + chunk or step % (display * 100) < chunk:
             writer.scalar(f"{dataset.dtype}/train/loss", float(loss), step)
-            save_files = step % (display * 1000) < chunk or step <= start_step + chunk
+            save_files = (cfg.run.save_all_reports
+                          or step % (display * 1000) < chunk
+                          or step <= start_step + chunk)
             report(trainer, ts, writer, data, step, run_dir,
                    save_files=save_files, name=cfg.network.name)
             writer.flush()

@@ -53,13 +53,33 @@ def degrees_to_masks(degrees, d: int):
 
 class MADE(Net):
     def __init__(self, in_out_features: int, num_hidden: int = 2,
-                 base_filters: int = 32, use_companion: bool = False):
+                 base_filters: int = 32, use_companion: bool = False,
+                 resample_masks: bool = False):
         self.d = in_out_features
         self.num_hidden = num_hidden
         self.base_filters = base_filters
         self.use_companion = use_companion
+        # behavioral-parity flag: the reference redraws masks on EVERY
+        # forward (flows/maf.py:49-50); default here is fixed-at-init
+        self.resample_masks = resample_masks
         self.hidden_dims = [base_filters] * num_hidden
         self.bnorms = [BatchNormNet(h) for h in self.hidden_dims]
+
+    def _sample_masks_traced(self, key):
+        """Per-call mask sampling (jnp, trace-safe) for resample_masks."""
+        d = self.d
+        m_prev = jnp.arange(d)
+        masks = []
+        for i, h in enumerate(self.hidden_dims):
+            k = jax.random.fold_in(key, i)
+            min_k = jnp.minimum(jnp.min(m_prev), d - 2)
+            m = jax.random.randint(k, (h,), 0, max(d - 1, 1)) % jnp.maximum(
+                (d - 1) - min_k, 1) + min_k
+            masks.append((m_prev[:, None] <= m[None, :]).astype(jnp.float32))
+            m_prev = m
+        masks.append((m_prev[:, None] < jnp.arange(d)[None, :])
+                     .astype(jnp.float32))
+        return masks
 
     def init(self, key):
         seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
@@ -90,7 +110,10 @@ class MADE(Net):
 
     def apply(self, var, z, ctx):
         p, s = var["params"], var["state"]
-        masks = s["masks"]
+        if self.resample_masks and ctx.rng is not None:
+            masks = self._sample_masks_traced(ctx.rng)
+        else:
+            masks = s["masks"]
         bn_states = list(s["bn"])
         x = z
         for i in range(self.num_hidden):
@@ -105,7 +128,7 @@ class MADE(Net):
         h = x @ w + p["b"][-1]
         if self.use_companion:
             h = h + jnp.ones_like(x) @ (p["u"][-1] * masks[-1])
-        return h, {"masks": masks, "bn": bn_states}
+        return h, {"masks": s["masks"], "bn": bn_states}
 
 
 class AutoregressiveTransform(Bijector):

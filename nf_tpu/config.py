@@ -75,6 +75,9 @@ class RunConfig:
     display: int = 1
     seed: int = 42
     data_root: str = "data"
+    # write image files on every report tick (for training movies), not
+    # just every display*1000 steps
+    save_all_reports: bool = False
 
 
 @dataclass

@@ -28,12 +28,33 @@ class FlowModel:
 
     # ------------------------------------------------------------ variables
     def init(self, key: jax.Array) -> Variables:
-        return self.bijector.init(key)
+        """Initialize on the host CPU backend: init is hundreds of tiny
+        eager ops, and per-op dispatch latency to a remote-attached TPU is
+        ~100x a local CPU op.  Arrays migrate to the accelerator on first
+        jitted use (or via the trainer's placement)."""
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is None:
+            return self.bijector.init(key)
+        with jax.default_device(cpu):
+            return self.bijector.init(jax.device_put(key, cpu))
 
     def data_dependent_init(self, var: Variables, batch, rng=None) -> Variables:
-        """Run the one-time data-dependent init pass (ActNorm et al.)."""
-        new_var, _ = self.bijector.dd_init(var, batch, Ctx(rng=rng, train=True))
-        return new_var
+        """Run the one-time data-dependent init pass (ActNorm et al.).
+
+        Jitted into a single program: running it eagerly dispatches hundreds
+        of tiny ops, which is pathologically slow over remote-attached TPUs.
+        """
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+
+        def _dd(v, x, key):
+            new_var, _ = self.bijector.dd_init(v, x, Ctx(rng=key, train=True))
+            return new_var
+
+        return jax.jit(_dd)(var, batch, rng)
 
     # ------------------------------------------------------------- running
     def forward(self, var, y, ctx: Ctx):

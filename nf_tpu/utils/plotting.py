@@ -60,6 +60,19 @@ def make_grid(images: np.ndarray, nrow: int = 8, pad: int = 1,
     return grid
 
 
+def assemble_gif(frame_paths, out_path: str, duration_ms: int = 200) -> bool:
+    """Training-progress movie from saved report frames (parity with the
+    reference's results/density/<model>/movie.gif)."""
+    from PIL import Image
+
+    frames = [Image.open(p).convert("P") for p in frame_paths]
+    if not frames:
+        return False
+    frames[0].save(out_path, save_all=True, append_images=frames[1:],
+                   duration=duration_ms, loop=0)
+    return True
+
+
 def save_image(path: str, array: np.ndarray) -> None:
     from PIL import Image
 

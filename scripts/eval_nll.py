@@ -1,0 +1,53 @@
+"""Evaluate an nf_tpu checkpoint's held-out NLL on the shared parity set.
+
+Usage: python scripts/eval_nll.py <network> <ckpt.npz> [dataset]
+Companion to scripts/train_reference_nll.py (same held-out seed).
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from nf_tpu.config import Config, NetworkConfig, NETWORK_DEFAULTS
+from nf_tpu.data.toy import TOY_SAMPLERS
+from nf_tpu.models import build_model
+from nf_tpu.train import Trainer, load_checkpoint
+
+HELDOUT_SEED = 9999
+HELDOUT_N = 16384
+
+
+def main():
+    network = sys.argv[1]
+    ckpt = sys.argv[2]
+    dataset = sys.argv[3] if len(sys.argv) > 3 else "normals"
+
+    fn, dims, _ = TOY_SAMPLERS[dataset]
+    ho = fn(HELDOUT_N, np.random.default_rng(HELDOUT_SEED))
+
+    cfg = Config()
+    cfg.network = NetworkConfig(name=network, **NETWORK_DEFAULTS[network])
+    model = build_model(network, dims, datatype="2d", cfg=cfg.network)
+    tr = Trainer(model, cfg.optimizer, seed=0)
+    ts = tr.init_state(jax.random.PRNGKey(0), ho[:1024])
+    ts, step = load_checkpoint(ckpt, ts)
+
+    nll = 0.0
+    for i in range(0, HELDOUT_N, 4096):
+        logp = np.asarray(tr.log_prob(ts, ho[i:i + 4096]))
+        nll += float(-logp.sum())
+    nll /= HELDOUT_N
+
+    out = {"framework": "nf_tpu", "network": network, "dataset": dataset,
+           "steps": step, "heldout_nll_nats": nll}
+    print(json.dumps(out))
+    with open(f"PARITY_nf_tpu_{network}.json", "w") as f:
+        json.dump(out, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -19,7 +19,8 @@ def main():
     import main as train_main
 
     argv = [f"network={network}", "run.distrib=normals",
-            "train.steps=20000", "train.chunk=100", "run.display=10"] + extra
+            "train.steps=20000", "train.chunk=100", "run.display=10",
+            "run.save_all_reports=true"] + extra
     run_dir = train_main.main(argv)
 
     out_dir = os.path.join("results", "density", network.replace("+", "p"))
@@ -28,6 +29,13 @@ def main():
         src = os.path.join(run_dir, f"{name}_020000.jpg")
         if os.path.exists(src):
             shutil.copyfile(src, os.path.join(out_dir, f"{name}_020000.jpg"))
+
+    # training movie from the periodic sample frames
+    import glob as _glob
+    from nf_tpu.utils.plotting import assemble_gif
+    frames = sorted(_glob.glob(os.path.join(run_dir, "y_sample_0*.jpg")))
+    if frames:
+        assemble_gif(frames, os.path.join(out_dir, "movie.gif"))
     print(f"golden panels -> {out_dir}")
 
 

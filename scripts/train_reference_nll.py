@@ -1,0 +1,85 @@
+"""Train the PyTorch reference on the `normals` density and record its
+held-out NLL — the parity anchor (BASELINE.md: NLL within MC error).
+
+Uses the reference's own modules (imported read-only from /root/reference)
+with its default recipe (Adam 1e-4, StepLR x0.5/10k, batch 1024 —
+configs/default.yaml) but OUR dataset generator, so both frameworks train
+and evaluate on identically distributed data.  The held-out set is a fixed
+seed from nf_tpu's sampler; the companion scripts/eval_nll.py evaluates an
+nf_tpu checkpoint on the same set.
+"""
+import json
+import os
+import sys
+import time
+from types import SimpleNamespace
+
+sys.path.insert(0, "/root/reference")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import torch
+
+from nf_tpu.data.toy import TOY_SAMPLERS
+
+HELDOUT_SEED = 9999
+HELDOUT_N = 16384
+
+
+def heldout(name="normals"):
+    fn, dims, _ = TOY_SAMPLERS[name]
+    return fn(HELDOUT_N, np.random.default_rng(HELDOUT_SEED))
+
+
+def main():
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    network = sys.argv[2] if len(sys.argv) > 2 else "realnvp"
+    from flows import MAF, Glow, RealNVP
+    nets = {"realnvp": (RealNVP, dict(layers=32)),
+            "glow": (Glow, dict(layers=32)),
+            "maf": (MAF, dict(layers=32))}
+    cls, default_cfg = nets[network]
+
+    torch.manual_seed(0)
+    cfg = SimpleNamespace(**default_cfg)
+    net = cls(dims=(2,), datatype="2d", cfg=cfg)
+    optim = torch.optim.Adam(net.parameters(), lr=1e-4)
+    sched = torch.optim.lr_scheduler.StepLR(optim, step_size=10000, gamma=0.5)
+    normal = torch.distributions.MultivariateNormal(torch.zeros(2), torch.eye(2))
+
+    fn, _, _ = TOY_SAMPLERS["normals"]
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    net.train()
+    for step in range(1, steps + 1):
+        y = torch.from_numpy(fn(1024, rng))
+        z, logdet = net(y)
+        loss = -(normal.log_prob(z) + logdet).mean()
+        optim.zero_grad()
+        loss.backward()
+        optim.step()
+        sched.step()
+        if step % 1000 == 0 or step == 1:
+            print(f"[{step}/{steps}] loss={loss.item():.5f} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+
+    net.eval()
+    ho = torch.from_numpy(heldout())
+    with torch.no_grad():
+        nll = 0.0
+        for i in range(0, HELDOUT_N, 4096):
+            yb = ho[i:i + 4096]
+            z, logdet = net(yb)
+            nll += float(-(normal.log_prob(z) + logdet).sum())
+        nll /= HELDOUT_N
+
+    out = {"framework": "reference-torch", "network": network,
+           "dataset": "normals", "steps": steps,
+           "heldout_nll_nats": nll, "train_minutes": (time.time()-t0)/60}
+    print(json.dumps(out))
+    with open(f"PARITY_reference_{network}.json", "w") as f:
+        json.dump(out, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

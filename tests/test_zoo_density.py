@@ -121,3 +121,21 @@ def test_conv1x1_image_roundtrip(rng):
     np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-4)
     # logdet scales with pixel count
     assert abs(float(ld_f[0]) / 16.0 + float(ld_i[0]) / 16.0) < 1e-5
+
+
+def test_made_resample_masks_mode(rng):
+    """Behavioral-parity flag: per-forward mask redraw stays autoregressive."""
+    from nf_tpu.bijectors.made import MADE
+
+    made = MADE(4, num_hidden=2, base_filters=8, resample_masks=True)
+    var = made.init(rng)
+    x = jax.random.normal(jax.random.fold_in(rng, 1), (8, 4))
+    y1, _ = made.apply(var, x, Ctx(rng=jax.random.PRNGKey(1), train=False))
+    y2, _ = made.apply(var, x, Ctx(rng=jax.random.PRNGKey(2), train=False))
+    y1b, _ = made.apply(var, x, Ctx(rng=jax.random.PRNGKey(1), train=False))
+    assert not np.allclose(np.asarray(y1), np.asarray(y2))  # masks differ
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y1b))  # det per key
+    # autoregressive: output 0 never depends on any input
+    J = jax.jacfwd(lambda v: made.apply(
+        var, v[None], Ctx(rng=jax.random.PRNGKey(3)))[0][0])(x[0])
+    np.testing.assert_allclose(np.asarray(J[0]), 0.0, atol=1e-7)

@@ -32,8 +32,10 @@ logger = Logging(__file__)
 
 
 def main(argv=None):
-    init_distributed()  # no-op on a single host
     cfg = parse_cli(sys.argv[1:] if argv is None else argv)
+    if cfg.run.platform:
+        jax.config.update("jax_platforms", cfg.run.platform)
+    init_distributed()  # no-op on a single host
     print("***** parameters ****")
     print(json.dumps(to_dict(cfg), indent=2))
     print("*********************\n")

@@ -30,6 +30,8 @@ class NetworkConfig:
     trace: str = "hutchinson"
     # conditioner width (reference MLP/ConvNet base_filters=32)
     base_filters: int = 32
+    # rematerialize per-layer activations in backward (HBM saver)
+    remat: bool = False
 
 
 # per-network defaults mirroring configs/network/*.yaml
@@ -78,6 +80,9 @@ class RunConfig:
     # write image files on every report tick (for training movies), not
     # just every display*1000 steps
     save_all_reports: bool = False
+    # force a JAX platform ('cpu' / 'tpu'); None = environment default.
+    # (env JAX_PLATFORMS alone is overridden by the axon sitecustomize.)
+    platform: Optional[str] = None
 
 
 @dataclass

@@ -94,10 +94,15 @@ class Chain(Bijector):
     Forward applies layers in order and sums per-layer logdets; inverse
     applies them in reverse.  Equivalent to the reference ``Compose``
     (/root/reference/flows/modules.py:325-339).
+
+    ``remat=True`` wraps each layer in ``jax.checkpoint``: activations are
+    recomputed in the backward pass instead of stored — the standard
+    HBM-for-FLOPs trade for deep multi-scale image stacks.
     """
 
-    def __init__(self, layers: Sequence[Bijector]):
+    def __init__(self, layers: Sequence[Bijector], remat: bool = False):
         self.layers = tuple(layers)
+        self.remat = remat
 
     def init(self, key: jax.Array) -> Variables:
         keys = jax.random.split(key, max(len(self.layers), 1))
@@ -111,11 +116,23 @@ class Chain(Bijector):
     def _sub(var: Variables, i: int) -> Variables:
         return {"params": var["params"][i], "state": var["state"][i]}
 
+    def _layer_fwd(self, i: int, train: bool):
+        layer = self.layers[i]
+
+        def fn(sub_var, x, rng):
+            return layer.forward(sub_var, x, Ctx(rng=rng, train=train))
+
+        if self.remat:
+            fn = jax.checkpoint(fn)
+        return fn
+
     def forward(self, var, x, ctx):
         logdet = jnp.zeros(x.shape[0], dtype=jnp.float32)
         states = list(var["state"])
-        for i, layer in enumerate(self.layers):
-            x, ld, states[i] = layer.forward(self._sub(var, i), x, ctx.child(i))
+        for i in range(len(self.layers)):
+            child = ctx.child(i)
+            x, ld, states[i] = self._layer_fwd(i, ctx.train)(
+                self._sub(var, i), x, child.rng)
             logdet = logdet + ld
         return x, logdet, states
 

@@ -28,4 +28,4 @@ def build_ffjord(dims, datatype=None, cfg=None) -> FlowModel:
         layers.append(CNF(dims, times=times, solver=cfg.solver,
                           trace_estimator=cfg.trace, backprop=cfg.backprop,
                           base_filters=cfg.base_filters))
-    return FlowModel("ffjord", Chain(layers), dims)
+    return FlowModel("ffjord", Chain(layers, remat=getattr(cfg, 'remat', False)), dims)

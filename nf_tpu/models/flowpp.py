@@ -54,4 +54,4 @@ def build_flowpp(dims, datatype=None, cfg=None) -> FlowModel:
             layers.append(ActNorm(dims[-1]))
             layers.append(MixLogAttnCoupling(
                 dims, odd=i % 2 != 0, base_filters=bf, n_mixtures=K))
-    return FlowModel("flow++", Chain(layers), dims)
+    return FlowModel("flow++", Chain(layers, remat=getattr(cfg, 'remat', False)), dims)

@@ -50,4 +50,4 @@ def build_glow(dims, datatype=None, cfg=None) -> FlowModel:
             layers.append(ActNorm(dims[-1]))
             layers.append(InvertibleConv1x1(dims[-1]))
             layers.append(AffineCoupling(dims, odd=i % 2 != 0, base_filters=bf))
-    return FlowModel("glow", Chain(layers), dims)
+    return FlowModel("glow", Chain(layers, remat=getattr(cfg, 'remat', False)), dims)

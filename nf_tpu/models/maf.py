@@ -21,4 +21,4 @@ def build_maf(dims, datatype=None, cfg=None) -> FlowModel:
         layers.append(BatchNorm(dims[-1], affine=False))
         layers.append(AutoregressiveTransform(dims[-1],
                                               base_filters=cfg.base_filters))
-    return FlowModel("maf", Chain(layers), dims)
+    return FlowModel("maf", Chain(layers, remat=getattr(cfg, 'remat', False)), dims)

@@ -17,4 +17,4 @@ from .base import FlowModel
 def build_planar(dims, datatype=None, cfg=None) -> FlowModel:
     dim = int(np.prod(dims))
     layers = [PlanarTransform(dim) for _ in range(cfg.layers)]
-    return FlowModel("planar", Chain(layers), dims)
+    return FlowModel("planar", Chain(layers, remat=getattr(cfg, 'remat', False)), dims)

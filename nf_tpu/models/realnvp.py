@@ -47,4 +47,4 @@ def build_realnvp(dims, datatype=None, cfg=None) -> FlowModel:
         for i in range(n_layers):
             layers.append(BatchNorm(dims[-1], affine=False))
             layers.append(AffineCoupling(dims, odd=i % 2 != 0, base_filters=bf))
-    return FlowModel("realnvp", Chain(layers), dims)
+    return FlowModel("realnvp", Chain(layers, remat=getattr(cfg, 'remat', False)), dims)

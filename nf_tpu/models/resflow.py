@@ -27,4 +27,4 @@ def build_resflow(dims, datatype=None, cfg=None) -> FlowModel:
         layers.append(InvertibleResLinear(
             dims[-1], dims[-1], base_filters=cfg.base_filters,
             coeff=cfg.spnorm_coeff, logdet_estimator=cfg.logdet))
-    return FlowModel("resflow", Chain(layers), dims)
+    return FlowModel("resflow", Chain(layers, remat=getattr(cfg, 'remat', False)), dims)

@@ -128,3 +128,26 @@ def test_chunked_steps_match_sequential(rng):
     for a, b in zip(jax.tree_util.tree_leaves(ts_a.params),
                     jax.tree_util.tree_leaves(ts_b.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_remat_matches_no_remat(rng):
+    """jax.checkpoint per layer must not change loss or gradients."""
+    cfg = small_cfg(layers=2)
+    m1 = build_model("realnvp", (2,), datatype="2d", cfg=cfg.network)
+    cfg2 = small_cfg(layers=2)
+    cfg2.network.remat = True
+    m2 = build_model("realnvp", (2,), datatype="2d", cfg=cfg2.network)
+
+    dl = FlowDataLoader("moons", batch_size=128, total_steps=3, seed=0)
+    first = dl.next_batch()
+    t1 = Trainer(m1, cfg.optimizer, seed=0)
+    t2 = Trainer(m2, cfg2.optimizer, seed=0)
+    s1 = t1.init_state(rng, first)
+    s2 = t2.init_state(rng, first)
+    for b in dl:
+        s1, l1 = t1.train_step(s1, b)
+        s2, l2 = t2.train_step(s2, b)
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

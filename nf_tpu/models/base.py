@@ -28,10 +28,12 @@ class FlowModel:
 
     # ------------------------------------------------------------ variables
     def init(self, key: jax.Array) -> Variables:
-        """Initialize on the host CPU backend: init is hundreds of tiny
-        eager ops, and per-op dispatch latency to a remote-attached TPU is
-        ~100x a local CPU op.  Arrays migrate to the accelerator on first
-        jitted use (or via the trainer's placement)."""
+        """Initialize on the host CPU backend, then place on the default
+        device.  Init is hundreds of tiny eager ops, and per-op dispatch
+        latency to a remote-attached TPU is ~100x a local CPU op — so the
+        math runs on CPU and the finished pytree moves in ONE batched
+        transfer.  (Returning the committed-to-CPU arrays directly would
+        silently pin any jit over them to the CPU backend.)"""
         try:
             cpu = jax.local_devices(backend="cpu")[0]
         except RuntimeError:
@@ -39,7 +41,8 @@ class FlowModel:
         if cpu is None:
             return self.bijector.init(key)
         with jax.default_device(cpu):
-            return self.bijector.init(jax.device_put(key, cpu))
+            var = self.bijector.init(jax.device_put(key, cpu))
+        return jax.device_put(var, jax.devices()[0])
 
     def data_dependent_init(self, var: Variables, batch, rng=None) -> Variables:
         """Run the one-time data-dependent init pass (ActNorm et al.).

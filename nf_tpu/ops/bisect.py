@@ -32,3 +32,4 @@ def bisect_monotone(fn, target, lo, hi, n_iters: int = 64):
 
     lo, hi = jax.lax.fori_loop(0, n_iters, body, (lo, hi))
     return (lo + hi) * 0.5
+

@@ -88,12 +88,15 @@ _attention_fused.defvjp(_attention_fused_fwd, _attention_fused_bwd)
 
 
 def attention(q, k, v):
-    """Dispatch: fused Pallas on TPU (when enabled), jnp otherwise."""
-    use_pallas = (
-        _HAS_PALLAS
-        and os.environ.get("NF_TPU_NO_PALLAS") != "1"
-        and jax.default_backend() == "tpu"
-    )
-    if use_pallas:
-        return _attention_fused(q, k, v)
-    return attention_reference(q, k, v)
+    """Dispatch: fused Pallas on TPU (when enabled), jnp otherwise.
+
+    Platform selection happens at LOWERING time (lax.platform_dependent),
+    not trace time — `jax.default_backend()` lies when a computation is
+    jitted for a device other than the default (e.g. params still on the
+    host CPU after a CPU-backend init on a remote-attached TPU).
+    """
+    if not _HAS_PALLAS or os.environ.get("NF_TPU_NO_PALLAS") == "1":
+        return attention_reference(q, k, v)
+    return jax.lax.platform_dependent(q, k, v,
+                                      tpu=_attention_fused,
+                                      default=attention_reference)

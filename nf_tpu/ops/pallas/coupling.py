@@ -115,10 +115,16 @@ _coupling_fwd_fused.defvjp(_cf_fwd, _cf_bwd)
 
 
 def coupling_fwd(z0, t, raw_s, gain, bias):
-    """Dispatch: Pallas on TPU for lane-aligned shapes, jnp otherwise."""
-    use = (_HAS_PALLAS and os.environ.get("NF_TPU_NO_PALLAS") != "1"
-           and jax.default_backend() == "tpu" and z0.ndim == 2
-           and z0.shape[1] % 128 == 0)
-    if use:
-        return _coupling_fwd_fused(z0, t, raw_s, gain, bias)
-    return coupling_fwd_reference(z0, t, raw_s, gain, bias)
+    """Dispatch: Pallas on TPU for lane-aligned shapes, jnp otherwise.
+
+    Platform is selected at LOWERING time (lax.platform_dependent) so the
+    right branch is chosen even when the computation is jitted for a
+    device other than the default backend (see ops/pallas/attention.py).
+    """
+    eligible = (_HAS_PALLAS and os.environ.get("NF_TPU_NO_PALLAS") != "1"
+                and z0.ndim == 2 and z0.shape[1] % 128 == 0)
+    if not eligible:
+        return coupling_fwd_reference(z0, t, raw_s, gain, bias)
+    return jax.lax.platform_dependent(z0, t, raw_s, gain, bias,
+                                      tpu=_coupling_fwd_fused,
+                                      default=coupling_fwd_reference)

@@ -104,3 +104,27 @@ def test_coupling_fused_gradients_match(rng):
     for a, b in zip(g_ref, g_an):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_mixlogcdf_bisect_kernel_matches_reference(rng):
+    from nf_tpu.bijectors.mixlogcdf import (mix_log_cdf_forward,
+                                            mix_log_cdf_inverse)
+    from nf_tpu.ops.pallas.mixlogcdf import mix_log_cdf_inverse_pallas
+
+    B, N, K = 4, 128, 8
+    ks = jax.random.split(rng, 4)
+    x = jax.random.normal(ks[0], (B, N)) * 2.0
+    logpi = jax.nn.log_softmax(jax.random.normal(ks[1], (B, N, K)), axis=-1)
+    mu = jax.random.normal(ks[2], (B, N, K))
+    s = jax.random.normal(ks[3], (B, N, K)) * 0.3
+
+    y, _ = mix_log_cdf_forward(x, logpi, mu, s)
+    x_ref, ld_ref = mix_log_cdf_inverse(y, logpi, mu, s)
+    x_pl, ld_pl = mix_log_cdf_inverse_pallas(y, logpi, mu, s,
+                                             interpret=True)
+    np.testing.assert_allclose(np.asarray(x_pl), np.asarray(x_ref),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ld_pl), np.asarray(ld_ref),
+                               atol=1e-3, rtol=1e-4)
+    # true round trip
+    np.testing.assert_allclose(np.asarray(x_pl), np.asarray(x), atol=1e-3)

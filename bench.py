@@ -20,8 +20,8 @@ import jax.numpy as jnp
 
 BATCH = 8192
 LAYERS = 32
-WARMUP = 3
-ITERS = 20
+WARMUP = 5
+ITERS = 50
 
 
 def main():
@@ -45,9 +45,11 @@ def main():
     y = jax.random.normal(jax.random.fold_in(key, 1), (BATCH, 2))
     z = jax.random.normal(jax.random.fold_in(key, 2), (BATCH, 2))
 
-    ctx = Ctx(rng=None, train=False)
-    fwd = jax.jit(lambda v, x: model.forward(v, x, ctx)[:2])
-    inv = jax.jit(lambda v, x: model.inverse(v, x, ctx)[:2])
+    # serving path: packs weights once; on TPU the whole stack runs as a
+    # single fused Pallas kernel (nf_tpu/ops/pallas/fused_stack.py)
+    prog = model.eval_program(var)
+    fwd = lambda v, x: prog.forward(x)
+    inv = lambda v, x: prog.inverse(x)
 
     def timeit(fn, *args):
         for _ in range(WARMUP):

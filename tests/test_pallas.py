@@ -128,3 +128,85 @@ def test_mixlogcdf_bisect_kernel_matches_reference(rng):
                                atol=1e-3, rtol=1e-4)
     # true round trip
     np.testing.assert_allclose(np.asarray(x_pl), np.asarray(x), atol=1e-3)
+
+
+@pytest.mark.parametrize("name", ["realnvp", "glow"])
+@pytest.mark.parametrize("D", [2, 3])
+def test_fused_stack_matches_chain(name, D, rng):
+    """Whole-stack fused eval kernel (interpret mode) vs the Chain path."""
+    from nf_tpu.config import Config, NetworkConfig
+    from nf_tpu.core import Ctx
+    from nf_tpu.models import build_model
+    from nf_tpu.ops.pallas.fused_stack import (extract_stack_spec,
+                                               fused_stack_forward,
+                                               fused_stack_inverse)
+
+    cfg = Config()
+    cfg.network = NetworkConfig(name=name, layers=4)
+    model = build_model(name, (D,), datatype="2d", cfg=cfg.network)
+    var = model.init(rng)
+    x = jax.random.normal(jax.random.fold_in(rng, 1), (64, D))
+    # move running stats off their init values so the test has teeth
+    var = model.data_dependent_init(var, x)
+    ctx_t = Ctx(rng=jax.random.fold_in(rng, 2), train=True)
+    for _ in range(3):
+        _, _, st = model.bijector.forward(var, x * 1.3, ctx_t)
+        var = {"params": var["params"], "state": st}
+
+    spec = extract_stack_spec(model.bijector, model.dims)
+    assert spec is not None
+    ctx = Ctx(rng=None, train=False)
+    z_ref, ld_ref, _ = model.bijector.forward(var, x, ctx)
+    z_f, ld_f = fused_stack_forward(model.bijector, spec, var, x,
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(z_f), np.asarray(z_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ld_f), np.asarray(ld_ref),
+                               atol=2e-5)
+
+    y_ref, ldi_ref, _ = model.bijector.inverse(var, z_ref, ctx)
+    y_f, ldi_f = fused_stack_inverse(model.bijector, spec, var, z_ref,
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ldi_f), np.asarray(ldi_ref),
+                               atol=2e-5)
+
+
+def test_fused_stack_spec_rejects_nonmatching(rng):
+    from nf_tpu.config import Config, NetworkConfig
+    from nf_tpu.models import build_model
+    from nf_tpu.ops.pallas.fused_stack import extract_stack_spec
+
+    # MAF repeats are [BatchNorm, AutoregressiveTransform] -> no match
+    cfg = Config()
+    cfg.network = NetworkConfig(name="maf", layers=4)
+    model = build_model("maf", (2,), datatype="2d", cfg=cfg.network)
+    assert extract_stack_spec(model.bijector, model.dims) is None
+    # odd repeat count -> no match
+    cfg.network = NetworkConfig(name="realnvp", layers=3)
+    model = build_model("realnvp", (2,), datatype="2d", cfg=cfg.network)
+    assert extract_stack_spec(model.bijector, model.dims) is None
+
+
+def test_eval_program_cpu_fallback_matches_model(rng):
+    """EvalProgram on CPU uses the jitted Chain; parity with model API."""
+    from nf_tpu.config import Config, NetworkConfig
+    from nf_tpu.core import Ctx
+    from nf_tpu.models import build_model
+
+    cfg = Config()
+    cfg.network = NetworkConfig(name="realnvp", layers=4)
+    model = build_model("realnvp", (2,), datatype="2d", cfg=cfg.network)
+    var = model.init(rng)
+    x = jax.random.normal(jax.random.fold_in(rng, 1), (32, 2))
+    prog = model.eval_program(var)
+    ctx = Ctx(rng=None, train=False)
+    z_ref, ld_ref, _ = model.forward(var, x, ctx)
+    z, ld = prog.forward(x)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ld), np.asarray(ld_ref), atol=1e-6)
+    lp = prog.log_prob(x)
+    lp_ref, _ = model.log_prob(var, x, ctx)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lp_ref),
+                               atol=1e-5, rtol=1e-5)
+    ys, lpy = prog.sample(jax.random.fold_in(rng, 2), 16)
+    assert ys.shape == (16, 2) and np.isfinite(np.asarray(lpy)).all()

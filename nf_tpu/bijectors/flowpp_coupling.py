@@ -3,9 +3,11 @@
 Behavior parity: /root/reference/flows/coupling.py:125-210 —
   * conditioner: in-proj -> Gated(Linear|Conv) -> LayerNorm -> GatedAttn ->
     LayerNorm -> out-proj emitting (a, b, logpi, mu, s) along channels;
-  * transform: z0 -> MixLogCDF -> Logit -> z0 * exp(a) + b with gated
-    a = tanh(raw) * a_log_scale + a_bias;
-  * inverse: affine undo -> Sigmoid -> bisection MixLogCDF^-1.
+  * transform: z0 -> logit(MixLogCDF(z0)) -> z0 * exp(a) + b with gated
+    a = tanh(raw) * a_log_scale + a_bias.  The CDF->logit composition is
+    fused in log space (bijectors/mixlogcdf.py:mix_log_cdf_logit_forward),
+    a deliberate numerical improvement over the reference's clamped chain;
+  * inverse: affine undo -> logit-space Newton MixLogCDF^-1.
 
 Channel bookkeeping is channels-last: the five parameter groups are sliced
 off the last axis; mixture tensors reshape (..., out*K) -> (..., out, K)
@@ -20,10 +22,10 @@ from ..core.bijector import Ctx
 from ..nets.core import Sequential
 from ..nets.gated import GatedAttn, GatedConv2d, GatedLinear, LayerNormNet
 from ..nets.layers import Conv2d, Dense
-from ..ops.math import (log_deriv_logit, log_deriv_sigmoid, logit,
-                        sum_except_batch)
+from ..ops.math import sum_except_batch
 from .coupling import _CouplingBase
-from .mixlogcdf import mix_log_cdf_forward, mix_log_cdf_inverse
+from .mixlogcdf import (mix_log_cdf_logit_forward,
+                        mix_log_cdf_logit_inverse)
 
 
 class MixLogAttnCoupling(_CouplingBase):
@@ -92,12 +94,11 @@ class MixLogAttnCoupling(_CouplingBase):
     def _transform(self, var, z0, z1, ctx):
         a, b, logpi, mu, s, state = self._cond_params(var, z1, ctx)
 
-        z0, ld = mix_log_cdf_forward(z0, logpi, mu, s)
-
-        # Logit with the reference's eps=1e-5 clamp (modules.py:141-150)
-        z0c = jnp.clip(z0, 1.0e-5, 1.0 - 1.0e-5)
-        ld = ld + sum_except_batch(log_deriv_logit(z0c))
-        z0 = logit(z0c)
+        # fused logit(MixLogCDF(.)) in log space — replaces the reference's
+        # MixLogCDF -> clamp -> Logit chain, whose clamp both loses
+        # precision and creates a free-log-det saturation exploit under
+        # training (see mix_log_cdf_logit_forward)
+        z0, ld = mix_log_cdf_logit_forward(z0, logpi, mu, s)
 
         z0 = z0 * jnp.exp(a) + b
         ld = ld + sum_except_batch(a)
@@ -109,9 +110,5 @@ class MixLogAttnCoupling(_CouplingBase):
         y0 = (y0 - b) * jnp.exp(-a)
         ld = -sum_except_batch(a)
 
-        # Logit inverse = sigmoid (modules.py:152-155)
-        ld = ld + sum_except_batch(log_deriv_sigmoid(y0))
-        y0 = jax.nn.sigmoid(y0)
-
-        y0, ld_m = mix_log_cdf_inverse(y0, logpi, mu, s)
+        y0, ld_m = mix_log_cdf_logit_inverse(y0, logpi, mu, s)
         return y0, ld + ld_m, state

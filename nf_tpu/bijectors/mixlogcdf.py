@@ -133,3 +133,73 @@ def mix_log_cdf_inverse(y, logpi, mu, s, n_iters: int = N_ITERS):
     # platform picked at lowering time (see ops/pallas/attention.py)
     return jax.lax.platform_dependent(y, logpi, mu, s,
                                       tpu=pallas_path, default=jnp_path)
+
+
+# --------------------------------------------------------------------------
+# fused MixLogCDF -> Logit (the Flow++ composition), log-space throughout
+# --------------------------------------------------------------------------
+def _mix_logit_parts(x, logpi, mu, s):
+    """u = log mixCDF(x), v = log(1 - mixCDF(x)), logpdf — all stable."""
+    z = (x[..., None] - mu) * jnp.exp(-s)
+    u = jax.scipy.special.logsumexp(logpi + jax.nn.log_sigmoid(z), axis=-1)
+    v = jax.scipy.special.logsumexp(logpi + jax.nn.log_sigmoid(-z), axis=-1)
+    logpdf = jax.scipy.special.logsumexp(
+        logpi + (z - s - 2.0 * jax.nn.softplus(z)), axis=-1)
+    return u, v, logpdf
+
+
+def mix_log_cdf_logit_forward(x, logpi, mu, s):
+    """y = logit(MixLogisticCDF(x)), fused in log space.
+
+    Composing the two reference bijectors textually (MixLogCDF then Logit
+    with a [eps, 1-eps] clamp — flows/coupling.py:184-188,
+    flows/modules.py:141-150) has a saturation exploit: once the CDF
+    rounds to 0/1 the clamp flattens the true map (true log-det -> -inf)
+    while the accounting still adds log logit'(clamp edge) ~ +11.5 per
+    coordinate — maximum-likelihood training then drives points INTO the
+    clamp to collect free log-det (measured: claimed +3.1 vs true -14.0
+    at trained parameters, held-out NLL below the distribution's entropy
+    bound).  Fused in log space, y = logCDF - logSurvival and
+    ld = logPDF - logCDF - logSurvival need no clamp, stay exact in the
+    tails, and remove the exploit.  A deliberate improvement over the
+    reference quirk, not a parity break: identical math in exact
+    arithmetic.
+    """
+    u, v, logpdf = _mix_logit_parts(x, logpi, mu, s)
+    return u - v, sum_except_batch(logpdf - u - v)
+
+
+def mix_log_cdf_logit_inverse(y, logpi, mu, s, n_iters: int = N_ITERS):
+    """Inverse of logit(MixLogisticCDF(x)) = y with its log-det.
+
+    Same bracket-safeguarded Newton as `_newton_solve` but in logit space,
+    where f(x) = logCDF - logSurvival - y is near-linear in BOTH tails —
+    no probability-space underflow, no clamps.
+    """
+
+    def body(_, carry):
+        x, lo, hi, dxold = carry
+        u, v, logpdf = _mix_logit_parts(x, logpi, mu, s)
+        f = (u - v) - y
+        lo = jnp.where(f < 0, x, lo)
+        hi = jnp.where(f >= 0, x, hi)
+        df = jnp.maximum(jnp.exp(logpdf - u - v), TINY)
+        dx = f / df
+        xn = x - dx
+        use_bis = ((xn <= lo) | (xn >= hi)
+                   | (jnp.abs(2.0 * f) > jnp.abs(dxold * df))
+                   | ~jnp.isfinite(xn))
+        done = (jnp.abs(dx) <= XTOL) | ((hi - lo) <= XTOL)
+        dx = jnp.where(use_bis, (hi - lo) * 0.5, dx)
+        xn = jnp.where(use_bis, (lo + hi) * 0.5, xn)
+        xn = jnp.where(done, x, xn)
+        dx = jnp.where(done, 0.0, dx)
+        return xn, lo, hi, dx
+
+    lo = jnp.full_like(y, -SPAN)
+    hi = jnp.full_like(y, SPAN)
+    x, _, _, _ = jax.lax.fori_loop(
+        0, n_iters, body,
+        (jnp.zeros_like(y), lo, hi, jnp.full_like(y, 2.0 * SPAN)))
+    u, v, logpdf = _mix_logit_parts(x, logpi, mu, s)
+    return x, -sum_except_batch(logpdf - u - v)

@@ -31,6 +31,12 @@ class TrainState(NamedTuple):
     opt_state: Any
     step: jax.Array
 
+    @property
+    def var(self):
+        """Model variables pytree ({'params', 'state'}) — the form
+        FlowModel methods and eval_program take."""
+        return {"params": self.params, "state": self.state}
+
 
 def make_optimizer(cfg) -> optax.GradientTransformation:
     """Adam/RMSprop + staircase step decay (reference StepLR, main.py:56-70)."""

@@ -34,10 +34,17 @@ def heldout(name="normals"):
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
     network = sys.argv[2] if len(sys.argv) > 2 else "realnvp"
-    from flows import MAF, Glow, RealNVP
+    from flows import MAF, Ffjord, Flowpp, Glow, PlanarFlow, RealNVP, ResFlow
     nets = {"realnvp": (RealNVP, dict(layers=32)),
             "glow": (Glow, dict(layers=32)),
-            "maf": (MAF, dict(layers=32))}
+            "maf": (MAF, dict(layers=32)),
+            "planar": (PlanarFlow, dict(layers=32)),
+            "flow++": (Flowpp, dict(layers=32, mixtures=8)),
+            "resflow": (ResFlow, dict(layers=32, logdet="unbias",
+                                      spnorm_coeff=0.9)),
+            "ffjord": (Ffjord, dict(layers=3, t0=0.0, t1=1.0, stepsize=0.1,
+                                    solver="dopri5", backprop="adjoint",
+                                    trace="hutchinson"))}
     cls, default_cfg = nets[network]
 
     torch.manual_seed(0)

@@ -90,3 +90,38 @@ def test_coupling_image_roundtrip(masking, rng):
     x2, ld_i, _ = bij.inverse(var, y, ctx)
     np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-5)
     np.testing.assert_allclose(np.asarray(ld_f), -np.asarray(ld_i), atol=1e-5)
+
+
+@pytest.mark.parametrize("name", ["realnvp", "glow", "flow++", "maf", "planar"])
+def test_logdet_matches_autodiff_jacobian(name, rng):
+    """The claimed log|det J| must equal the true Jacobian log-det —
+    including in saturating regimes (this catches clamp-style accounting
+    bugs where the map flattens but the log-det term keeps counting)."""
+    from nf_tpu.config import Config, NetworkConfig
+    from nf_tpu.core import Ctx
+    from nf_tpu.models import build_model
+
+    cfg = Config()
+    cfg.network = NetworkConfig(name=name, layers=4)
+    if name == "flow++":
+        cfg.network.mixtures = 4
+    model = build_model(name, (2,), datatype="2d", cfg=cfg.network)
+    var = model.init(rng)
+    ctx = Ctx(rng=None, train=False)
+
+    def fwd_one(v):
+        z, ld, _ = model.forward(var, v[None], ctx)
+        return z[0], ld[0]
+
+    # include points far in the tails to exercise saturation
+    xs = jnp.concatenate([
+        jax.random.normal(jax.random.fold_in(rng, 1), (4, 2)) * 0.5,
+        jnp.array([[4.0, -4.0], [-6.0, 6.0]]),
+    ])
+    for i in range(xs.shape[0]):
+        _, ld = fwd_one(xs[i])
+        J = jax.jacfwd(lambda v: fwd_one(v)[0])(xs[i])
+        true_ld = jnp.linalg.slogdet(J)[1]
+        np.testing.assert_allclose(np.asarray(ld), np.asarray(true_ld),
+                                   atol=5e-3, rtol=1e-4,
+                                   err_msg=f"{name} point {i}")

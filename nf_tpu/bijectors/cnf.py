@@ -87,10 +87,19 @@ class CNF(Bijector):
         return {"params": {"net": self.net.init(key)},
                 "state": {"times": self.times_init}}
 
-    def _dynamics(self, params, v_probe, n_probes, exact: bool):
-        """ODE function over state (z, logdet)."""
+    def _dynamics(self, n_probes, exact: bool):
+        """ODE function over state (z, logdet).
 
-        def fn(p, t, state):
+        The dynamics take ``(net_params, v_probe)`` as their explicit
+        parameter pytree: the Hutchinson probe is TRACED data (derived from
+        the per-step PRNG under jit) and must ride through the adjoint's
+        differentiable-argument slot — a closure over it inside the
+        custom_vjp's static function argument silently corrupts the
+        backward pass (the probe the adjoint re-evaluates with no longer
+        matches the forward's)."""
+
+        def fn(pv, t, state):
+            p, v_probe = pv
             z, _ = state
             f_of = lambda zz: self.net.apply(p, t, zz)
             dz = f_of(z)
@@ -117,14 +126,15 @@ class CNF(Bijector):
 
         key = ctx.rng if ctx.rng is not None else jax.random.PRNGKey(0)
         v = (jax.random.normal(key, (max(n_probes, 1),) + x.shape, x.dtype)
-             if not exact else None)
-        fn = self._dynamics(params, v, n_probes, exact)
+             if not exact else jnp.zeros((1,) + x.shape, x.dtype))
+        fn = self._dynamics(n_probes, exact)
+        pv = (params, v)
 
         state0 = (x, jnp.zeros(logdet_shape, jnp.float32))
         if self.backprop == "adjoint":
-            z, dlogdet = odeint_adjoint(fn, params, state0, times, self.solver)
+            z, dlogdet = odeint_adjoint(fn, pv, state0, times, self.solver)
         else:
-            z, dlogdet = odeint(lambda t, s: fn(params, t, s), state0, times,
+            z, dlogdet = odeint(lambda t, s: fn(pv, t, s), state0, times,
                                 self.solver)
         return z, dlogdet
 

@@ -140,14 +140,20 @@ def _adaptive_step(tab, func, t, x, dt):
     x_err = _tm(lambda k: dt * k, _weighted_sum(tab.c_err, ks[: len(tab.c_err)]))
 
     # rms of err / (atol + rtol * max(|x|, |x+dx|)) across the whole state
-    def _sq(e, xx, dd):
+    # (reference semantics, flows/odeint.py:107-108).  Reduce over plain
+    # leaf lists — a tree_map producing (sumsq, size) tuple leaves gets
+    # confused with tuple-structured STATES (the (z, logdet) CNF state),
+    # which silently scrambled the error norm to ~sqrt(2) and made the
+    # controller reject every step.
+    total = 0.0
+    count = 0
+    for e, xx, dd in zip(jax.tree_util.tree_leaves(x_err),
+                         jax.tree_util.tree_leaves(x),
+                         jax.tree_util.tree_leaves(dx)):
         etol = tab.atol + tab.rtol * jnp.maximum(jnp.abs(xx), jnp.abs(xx + dd))
         r = e / etol
-        return jnp.sum(r * r), r.size
-
-    sums = _tm(_sq, x_err, x, dx)
-    total = sum(jax.tree_util.tree_leaves(_tm(lambda s: s[0], sums, is_leaf=lambda n: isinstance(n, tuple))))
-    count = sum(jax.tree_util.tree_leaves(_tm(lambda s: s[1], sums, is_leaf=lambda n: isinstance(n, tuple))))
+        total = total + jnp.sum(r * r)
+        count += r.size
     # step-size control is a discrete decision: do not differentiate through
     # it (sqrt at 0 would NaN the backward pass of masked no-op steps)
     err_norm = jax.lax.stop_gradient(jnp.sqrt(jnp.maximum(total / count, 1e-24)))
@@ -162,23 +168,26 @@ def _adaptive_integrate(tab, func, x0, times):
     dt0 = (t_end - t_start) / n_nominal
     dt_min, dt_max = jnp.abs(dt0) * 0.2, jnp.abs(dt0) * 5.0
     sign = jnp.sign(dt0)
-    max_iters = int(MAX_ADAPTIVE_FACTOR * n_nominal / 0.2) if False else (
-        MAX_ADAPTIVE_FACTOR * n_nominal + 8)
+    # static trip bound: worst case paces at dt_min (1/0.2 = 5x nominal)
+    # with rejects interleaved; done-iterations skip the stage evaluations
+    # via lax.cond, so the generous bound costs nothing at runtime
+    max_iters = 12 * n_nominal + 16
 
-    def body(_, carry):
+    def step(carry):
         t, x, dt, done = carry
         # don't overshoot t_end
         remaining = t_end - t
         dt_eff = jnp.where(jnp.abs(dt) > jnp.abs(remaining), remaining, dt)
         dx, err, dt_new = _adaptive_step(tab, func, t, x, dt_eff)
         accept = jnp.logical_or(err <= 1.0, jnp.abs(dt_eff) <= dt_min * 1.001)
-        step_ok = jnp.logical_and(accept, jnp.logical_not(done))
-        x = _tm(lambda xx, dd: jnp.where(step_ok, xx + dd, xx), x, dx)
-        t = jnp.where(step_ok, t + dt_eff, t)
-        dt = jnp.where(done, dt,
-                       sign * jnp.clip(jnp.abs(dt_new), dt_min, dt_max))
+        x = _tm(lambda xx, dd: jnp.where(accept, xx + dd, xx), x, dx)
+        t = jnp.where(accept, t + dt_eff, t)
+        dt = sign * jnp.clip(jnp.abs(dt_new), dt_min, dt_max)
         done = jnp.abs(t - t_end) <= 1.0e-6 * jnp.maximum(1.0, jnp.abs(t_end))
         return (t, x, dt, done)
+
+    def body(_, carry):
+        return jax.lax.cond(carry[3], lambda c: c, step, carry)
 
     carry = (t_start, x0, dt0, jnp.asarray(False))
     _, x, _, _ = jax.lax.fori_loop(0, max_iters, body, carry)

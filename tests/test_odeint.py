@@ -85,3 +85,55 @@ def test_odeint_jits(rng):
     times = jnp.linspace(0.0, 1.0, 6)
     out = jax.jit(lambda x: odeint(f, x, times, "dopri5"))(x0)
     np.testing.assert_allclose(np.asarray(out), np.exp(-1.0), rtol=5e-3)
+
+
+@pytest.mark.parametrize("method", ["bosha3", "dopri5"])
+def test_adaptive_solvers_tuple_state_accuracy(method):
+    """Adaptive controllers must meet their tolerance on TUPLE states (the
+    CNF's (z, logdet) shape).  Regression: the error-norm reduction once
+    confused its (sumsq, count) tuples with tuple-structured states,
+    rejecting every step and then silently truncating the integration."""
+    # dz/dt = -z, dacc/dt = sum(z^2): z(t)=e^{-t} z0, acc(1)=sum(z0^2)(1-e^{-2})/2
+    z0 = jnp.array([[1.0, -2.0], [0.5, 3.0]])
+    acc0 = jnp.zeros((2,))
+    times = jnp.linspace(0.0, 1.0, 11)
+    f = lambda t, s: (-s[0], jnp.sum(s[0] ** 2, axis=1))
+    z1, acc1 = odeint(f, (z0, acc0), times, method)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z0) * np.exp(-1.0),
+                               rtol=5e-3)
+    np.testing.assert_allclose(
+        np.asarray(acc1),
+        np.sum(np.asarray(z0) ** 2, axis=1) * (1 - np.exp(-2.0)) / 2,
+        rtol=5e-3)
+
+
+@pytest.mark.parametrize("method", ["rk4", "dopri5"])
+@pytest.mark.parametrize("reverse", [False, True])
+def test_adjoint_tuple_state_grads(method, reverse, rng):
+    """Adjoint == direct gradients for triangular tuple-state dynamics
+    (logdet-style accumulator), both time directions."""
+    params = {"A": 0.4 * jax.random.normal(rng, (2, 2))}
+    z0 = jax.random.normal(jax.random.fold_in(rng, 1), (4, 2))
+    acc0 = jnp.zeros((4,))
+    times = jnp.linspace(0.0, 1.0, 11)
+    if reverse:
+        times = jnp.flip(times)
+
+    def func(p, t, s):
+        z, _ = s
+        return (jnp.tanh(z @ p["A"]), jnp.sum(z * z, axis=1))
+
+    def loss_adj(p):
+        z1, a1 = odeint_adjoint(func, p, (z0, acc0), times, method)
+        return jnp.sum(z1 ** 2) + 3.0 * jnp.sum(a1)
+
+    def loss_dir(p):
+        z1, a1 = odeint(lambda t, s: func(p, t, s), (z0, acc0), times, method)
+        return jnp.sum(z1 ** 2) + 3.0 * jnp.sum(a1)
+
+    np.testing.assert_allclose(float(loss_adj(params)),
+                               float(loss_dir(params)), rtol=1e-6)
+    ga = jax.grad(loss_adj)(params)["A"]
+    gd = jax.grad(loss_dir)(params)["A"]
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gd),
+                               atol=2e-3, rtol=2e-2)

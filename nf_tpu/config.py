@@ -32,6 +32,11 @@ class NetworkConfig:
     base_filters: int = 32
     # rematerialize per-layer activations in backward (HBM saver)
     remat: bool = False
+    # compose repeated homogeneous blocks with lax.scan instead of
+    # unrolling them into the traced graph: O(1) compile time in depth.
+    # NOTE: changes the checkpoint pytree layout (stacked block params),
+    # so scan and unrolled checkpoints are not interchangeable.
+    scan: bool = False
 
 
 # per-network defaults mirroring configs/network/*.yaml

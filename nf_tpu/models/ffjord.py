@@ -11,7 +11,7 @@ import numpy as np
 
 from ..bijectors.cnf import CNF
 from ..bijectors.norm import ActNorm
-from ..core.bijector import Chain
+from ..core.bijector import Chain, scan_repeated
 from .base import FlowModel
 
 
@@ -28,4 +28,7 @@ def build_ffjord(dims, datatype=None, cfg=None) -> FlowModel:
         layers.append(CNF(dims, times=times, solver=cfg.solver,
                           trace_estimator=cfg.trace, backprop=cfg.backprop,
                           base_filters=cfg.base_filters))
-    return FlowModel("ffjord", Chain(layers, remat=getattr(cfg, 'remat', False)), dims)
+    remat = getattr(cfg, "remat", False)
+    if getattr(cfg, "scan", False):
+        return FlowModel("ffjord", scan_repeated(layers, 2, remat=remat), dims)
+    return FlowModel("ffjord", Chain(layers, remat=remat), dims)

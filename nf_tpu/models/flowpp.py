@@ -12,7 +12,7 @@ from ..bijectors.elementwise import Logit
 from ..bijectors.flowpp_coupling import MixLogAttnCoupling
 from ..bijectors.norm import ActNorm
 from ..bijectors.squeeze import Squeeze2d, Unsqueeze2d
-from ..core.bijector import Chain
+from ..core.bijector import Chain, scan_repeated
 from .base import FlowModel
 
 
@@ -20,38 +20,49 @@ def build_flowpp(dims, datatype=None, cfg=None) -> FlowModel:
     n_layers = cfg.layers
     bf = getattr(cfg, "base_filters", 32)
     K = cfg.mixtures
+    remat = getattr(cfg, "remat", False)
+    scan = getattr(cfg, "scan", False)
     layers = []
+
+    def emit(stage, period):
+        if scan:
+            layers.append(scan_repeated(stage, period, remat=remat))
+        else:
+            layers.extend(stage)
+
     if datatype == "image":
         h, w, c = dims
         layers.append(Logit(eps=0.01))
         mid = (h, w, c)
         while max(mid[0], mid[1]) > 8:
-            for i in range(n_layers):
-                layers.append(ActNorm(mid[2]))
-                layers.append(InvertibleConv1x1(mid[2]))
-                layers.append(MixLogAttnCoupling(
-                    mid, masking="checkerboard", odd=i % 2 != 0,
-                    base_filters=bf, n_mixtures=K))
+            emit([l for i in range(n_layers) for l in (
+                ActNorm(mid[2]),
+                InvertibleConv1x1(mid[2]),
+                MixLogAttnCoupling(mid, masking="checkerboard",
+                                   odd=i % 2 != 0, base_filters=bf,
+                                   n_mixtures=K))], 6)
             layers.append(Squeeze2d(odd=False))
             mid = (mid[0] // 2, mid[1] // 2, mid[2] * 4)
-            for i in range(n_layers):
-                layers.append(ActNorm(mid[2]))
-                layers.append(InvertibleConv1x1(mid[2]))
-                layers.append(MixLogAttnCoupling(
-                    mid, masking="channelwise", odd=i % 2 != 0,
-                    base_filters=bf, n_mixtures=K))
-        for i in range(n_layers + 1):
-            layers.append(ActNorm(mid[2]))
-            layers.append(InvertibleConv1x1(mid[2]))
-            layers.append(MixLogAttnCoupling(
-                mid, masking="checkerboard", odd=i % 2 != 0,
-                base_filters=bf, n_mixtures=K))
+            emit([l for i in range(n_layers) for l in (
+                ActNorm(mid[2]),
+                InvertibleConv1x1(mid[2]),
+                MixLogAttnCoupling(mid, masking="channelwise",
+                                   odd=i % 2 != 0, base_filters=bf,
+                                   n_mixtures=K))], 6)
+        emit([l for i in range(n_layers + 1) for l in (
+            ActNorm(mid[2]),
+            InvertibleConv1x1(mid[2]),
+            MixLogAttnCoupling(mid, masking="checkerboard",
+                               odd=i % 2 != 0, base_filters=bf,
+                               n_mixtures=K))], 6)
         while mid[0] != h or mid[1] != w:
             layers.append(Unsqueeze2d(odd=False))
             mid = (mid[0] * 2, mid[1] * 2, mid[2] // 4)
     else:
-        for i in range(n_layers):
-            layers.append(ActNorm(dims[-1]))
-            layers.append(MixLogAttnCoupling(
-                dims, odd=i % 2 != 0, base_filters=bf, n_mixtures=K))
-    return FlowModel("flow++", Chain(layers, remat=getattr(cfg, 'remat', False)), dims)
+        emit([l for i in range(n_layers) for l in (
+            ActNorm(dims[-1]),
+            MixLogAttnCoupling(dims, odd=i % 2 != 0, base_filters=bf,
+                               n_mixtures=K))], 4)
+    if scan and len(layers) == 1:
+        return FlowModel("flow++", layers[0], dims)
+    return FlowModel("flow++", Chain(layers, remat=remat and not scan), dims)

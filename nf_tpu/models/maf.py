@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from ..bijectors.made import AutoregressiveTransform
 from ..bijectors.norm import BatchNorm
-from ..core.bijector import Chain
+from ..core.bijector import Chain, scan_repeated
 from .base import FlowModel
 
 
@@ -21,4 +21,7 @@ def build_maf(dims, datatype=None, cfg=None) -> FlowModel:
         layers.append(BatchNorm(dims[-1], affine=False))
         layers.append(AutoregressiveTransform(dims[-1],
                                               base_filters=cfg.base_filters))
-    return FlowModel("maf", Chain(layers, remat=getattr(cfg, 'remat', False)), dims)
+    remat = getattr(cfg, "remat", False)
+    if getattr(cfg, "scan", False):
+        return FlowModel("maf", scan_repeated(layers, 2, remat=remat), dims)
+    return FlowModel("maf", Chain(layers, remat=remat), dims)

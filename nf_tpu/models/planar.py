@@ -10,11 +10,14 @@ from __future__ import annotations
 import numpy as np
 
 from ..bijectors.planar import PlanarTransform
-from ..core.bijector import Chain
+from ..core.bijector import Chain, scan_repeated
 from .base import FlowModel
 
 
 def build_planar(dims, datatype=None, cfg=None) -> FlowModel:
     dim = int(np.prod(dims))
     layers = [PlanarTransform(dim) for _ in range(cfg.layers)]
-    return FlowModel("planar", Chain(layers, remat=getattr(cfg, 'remat', False)), dims)
+    remat = getattr(cfg, "remat", False)
+    if getattr(cfg, "scan", False):
+        return FlowModel("planar", scan_repeated(layers, 1, remat=remat), dims)
+    return FlowModel("planar", Chain(layers, remat=remat), dims)

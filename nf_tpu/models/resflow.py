@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from ..bijectors.iresblock import InvertibleResLinear
 from ..bijectors.norm import ActNorm
-from ..core.bijector import Chain
+from ..core.bijector import Chain, scan_repeated
 from .base import FlowModel
 
 
@@ -27,4 +27,7 @@ def build_resflow(dims, datatype=None, cfg=None) -> FlowModel:
         layers.append(InvertibleResLinear(
             dims[-1], dims[-1], base_filters=cfg.base_filters,
             coeff=cfg.spnorm_coeff, logdet_estimator=cfg.logdet))
-    return FlowModel("resflow", Chain(layers, remat=getattr(cfg, 'remat', False)), dims)
+    remat = getattr(cfg, "remat", False)
+    if getattr(cfg, "scan", False):
+        return FlowModel("resflow", scan_repeated(layers, 2, remat=remat), dims)
+    return FlowModel("resflow", Chain(layers, remat=remat), dims)

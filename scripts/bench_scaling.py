@@ -15,9 +15,18 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
+
+# the axon sitecustomize force-selects the TPU backend via jax.config at
+# import time; honor an explicit JAX_PLATFORMS=cpu request (virtual mesh)
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 import numpy as np
 
 

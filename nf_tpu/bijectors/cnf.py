@@ -74,13 +74,15 @@ class CNF(Bijector):
     def __init__(self, dims, times, solver: str = "dopri5",
                  trace_estimator: str = "hutchinson",
                  backprop: str = "adjoint", base_filters: int = 32,
-                 n_layers: int = 2):
+                 n_layers: int = 2, rtol=None, atol=None):
         assert backprop in ("normal", "adjoint"), backprop
         self.dims = tuple(dims)
         self.times_init = jnp.asarray(times, jnp.float32)
         self.solver = solver
         self.trace_estimator = trace_estimator
         self.backprop = backprop
+        self.rtol = rtol
+        self.atol = atol
         self.net = ODENet(dims, base_filters, n_layers)
 
     def init(self, key):
@@ -132,10 +134,11 @@ class CNF(Bijector):
 
         state0 = (x, jnp.zeros(logdet_shape, jnp.float32))
         if self.backprop == "adjoint":
-            z, dlogdet = odeint_adjoint(fn, pv, state0, times, self.solver)
+            z, dlogdet = odeint_adjoint(fn, pv, state0, times, self.solver,
+                                        self.rtol, self.atol)
         else:
             z, dlogdet = odeint(lambda t, s: fn(pv, t, s), state0, times,
-                                self.solver)
+                                self.solver, self.rtol, self.atol)
         return z, dlogdet
 
     def forward(self, var, x, ctx):

@@ -121,12 +121,19 @@ def InvertibleResLinear(in_features: int, out_features: int,
 def InvertibleResConv2d(in_channels: int, out_channels: int,
                         base_filters: int = 32, n_layers: int = 2,
                         coeff: float = 0.97, ftol: float = 1.0e-4,
-                        logdet_estimator: str = "unbias") -> InvertibleResBlock:
-    """Conv g: SN-Conv/LipSwish stack (parity: iresblock.py:281-301)."""
+                        logdet_estimator: str = "unbias",
+                        spatial=None) -> InvertibleResBlock:
+    """Conv g: SN-Conv/LipSwish stack (parity: iresblock.py:281-301).
+
+    ``spatial=(H, W)`` enables the exact conv-operator spectral norm
+    (see nets/spectral.py) — pass it whenever the featuremap size is
+    known, or the Lipschitz bound (and hence invertibility) is not
+    actually guaranteed."""
     dims = [in_channels] + [base_filters] * n_layers + [out_channels]
     layers = []
     for i, (din, dout) in enumerate(zip(dims[:-1], dims[1:])):
-        layers.append(SpectralNormConv2d(din, dout, coeff=coeff))
+        layers.append(SpectralNormConv2d(din, dout, coeff=coeff,
+                                         spatial=spatial))
         if i != len(dims) - 2:
             layers.append(LipSwish())
     return InvertibleResBlock(Sequential(layers), estimator=logdet_estimator,

@@ -57,6 +57,27 @@ class Squeeze2d(Bijector):
         return sq.unsqueeze2d(z[..., :h], z[..., h:], self.odd), _zeros(z), var["state"]
 
 
+class Flatten(Bijector):
+    """(B, *dims) <-> (B, prod(dims)); volume-preserving (logdet 0).
+
+    No reference counterpart — used by the beyond-parity image variants of
+    vector-native models (MAF), which the reference declines to support
+    (flows/maf.py:131-132)."""
+
+    def __init__(self, dims):
+        self.dims = tuple(dims)
+        d = 1
+        for s in self.dims:
+            d *= s
+        self.flat_dim = d
+
+    def forward(self, var, z, ctx):
+        return z.reshape(z.shape[0], self.flat_dim), _zeros(z), var["state"]
+
+    def inverse(self, var, z, ctx):
+        return z.reshape((z.shape[0],) + self.dims), _zeros(z), var["state"]
+
+
 class Unsqueeze2d(Bijector):
     """(B,H,W,4C) -> (B,2H,2W,C)."""
 

@@ -28,6 +28,22 @@ class NetworkConfig:
     solver: str = "dopri5"
     backprop: str = "adjoint"
     trace: str = "hutchinson"
+    # adaptive-solver tolerances; None = the solver tableau defaults
+    # (dopri5: 1e-2 like the reference's constants, flows/odeint.py:98).
+    # The reference's controller discards its computed step size, making it
+    # fixed-step in practice; with TRUE accept/reject control, tighter
+    # tolerances here buy accuracy the reference cannot reach.
+    rtol: Optional[float] = None
+    atol: Optional[float] = None
+    # opt-in image variants for models whose reference raises
+    # NotImplementedError (maf/resflow/ffjord) — beyond-parity wiring of
+    # the classes the reference ships but never uses (iresblock.py:281-301,
+    # cnf.py:55-65)
+    allow_image: bool = False
+    # flow++ image mode: variational dequantization (small conditional
+    # dequant flow + ELBO objective) instead of the reference's fixed
+    # Logit(0.01) transform
+    var_dequant: bool = False
     # conditioner width (reference MLP/ConvNet base_filters=32)
     base_filters: int = 32
     # rematerialize per-layer activations in backward (HBM saver)

@@ -172,6 +172,31 @@ class Inverted(Bijector):
         return self.inner.forward(var, y, ctx)
 
 
+def _static_desc(obj):
+    """Canonical description of an object's static configuration.
+
+    Used to verify ScannedChain blocks are interchangeable: the scan traces
+    ONLY blocks[0], so any static-config difference between blocks (coupling
+    parity, masking mode, net widths) that doesn't change parameter shapes
+    would otherwise run silently wrong.
+    """
+    if isinstance(obj, (int, float, bool, str, bytes, type(None))):
+        return obj
+    if isinstance(obj, (tuple, list)):
+        return tuple(_static_desc(o) for o in obj)
+    if isinstance(obj, dict):
+        return tuple(sorted((k, _static_desc(v)) for k, v in obj.items()))
+    if hasattr(obj, "shape") and hasattr(obj, "dtype"):  # concrete array
+        import numpy as np
+        a = np.asarray(obj)
+        return ("array", a.shape, str(a.dtype), a.tobytes())
+    if hasattr(obj, "__dict__"):
+        return (type(obj).__name__,
+                tuple(sorted((k, _static_desc(v))
+                             for k, v in vars(obj).items())))
+    return (type(obj).__name__, repr(obj))
+
+
 class ScannedChain(Bijector):
     """Composition of structurally identical blocks as ONE ``lax.scan``.
 
@@ -198,6 +223,15 @@ class ScannedChain(Bijector):
 
     def __init__(self, blocks: Sequence[Bijector], remat: bool = False):
         assert len(blocks) >= 1
+        ref_desc = _static_desc(blocks[0])
+        for i, b in enumerate(blocks[1:], 1):
+            if _static_desc(b) != ref_desc:
+                raise ValueError(
+                    f"ScannedChain blocks must share static configuration "
+                    f"(the scan traces only block 0), but block {i} differs "
+                    f"from block 0. For alternating-parity couplings, pair "
+                    f"layers so each block covers one full period (e.g. "
+                    f"[norm, coupling(even), norm, coupling(odd)]).")
         self.blocks = tuple(blocks)
         self.n = len(blocks)
         self.remat = remat

@@ -48,18 +48,20 @@ def geometric(key, p: float):
 def trace_exact(f_fn: Callable, z):
     """Exact trace of df/dz via D VJP passes with basis vectors.
 
-    ``f_fn``: batch map (B, D) -> (B, D).  Cost O(D) passes — density data
-    only (parity: flows/cnf.py:10-19).
+    ``f_fn``: batch map (B, *dims) -> (B, *dims); non-batch dims are
+    flattened for the basis sweep, so NHWC images work too.  Cost O(D)
+    passes — small-D data only (parity: flows/cnf.py:10-19).
     """
     _, vjp = jax.vjp(f_fn, z)
-    d = z.shape[1]
+    b = z.shape[0]
+    d = z.size // b
 
     def body(i, acc):
-        w = jnp.zeros_like(z).at[:, i].set(1.0)
-        row = vjp(w)[0]
+        wf = jnp.zeros((b, d), z.dtype).at[:, i].set(1.0)
+        row = _flatten_batch(vjp(wf.reshape(z.shape))[0])
         return acc + row[:, i]
 
-    return jax.lax.fori_loop(0, d, body, jnp.zeros(z.shape[0], z.dtype))
+    return jax.lax.fori_loop(0, d, body, jnp.zeros(b, z.dtype))
 
 
 def trace_hutchinson(f_fn: Callable, z, key, n_samples: int = 1):
@@ -78,15 +80,18 @@ def trace_hutchinson(f_fn: Callable, z, key, n_samples: int = 1):
 # ----------------------------------------------------------- logdet (series)
 def logdet_exact(g_fn: Callable, x):
     """Exact log|det(I + dg/dx)| via dense Jacobian (small D only;
-    parity: flows/iresblock.py:17-31)."""
+    parity: flows/iresblock.py:17-31).  Non-batch dims are flattened, so
+    NHWC images work (D = H*W*C rows — use only for tiny shapes)."""
     _, vjp = jax.vjp(g_fn, x)
-    d = x.shape[1]
-    rows = []
-    for i in range(d):
-        w = jnp.zeros_like(x).at[:, i].set(1.0)
-        rows.append(vjp(w)[0])  # row i of J, per sample
-    jac = jnp.stack(rows, axis=1)  # (B, D, D)
+    b = x.shape[0]
+    d = x.size // b
     eye = jnp.eye(d, dtype=x.dtype)
+
+    def row(e):
+        w = jnp.broadcast_to(e.reshape(x.shape[1:]), x.shape)
+        return _flatten_batch(vjp(w)[0])  # (B, D)
+
+    jac = jnp.moveaxis(jax.vmap(row)(eye), 0, 1)  # (B, D, D)
     return jnp.linalg.slogdet(eye[None] + jac)[1]
 
 
@@ -195,35 +200,37 @@ def _iresblock_fwd(g_apply, params, x, key):
     cap = 1 + _SERIES_CAP
     _, u = jax.lax.fori_loop(0, cap, body, (v, v))
 
-    # d(sum_b logdet_b)/d(params, x): differentiate x -> <u, g(params, x) v>?
-    # The estimator is  tr-est = u^T (dg/dx applied to v)... we need
-    # d/dtheta of v^T J u with J = dg/dx:  grad_theta (u^T g_x(v))  — use a
-    # JVP/VJP sandwich: scalar s(params, x) = sum(u * dg(x)[v]) where dg[v]
-    # is the JVP of g in direction v.
-    def scalar_fn(p, xx):
-        _, jv = jax.jvp(lambda xxx: g_apply(p, xxx), (xx,), (v,))
-        return jnp.sum(jax.lax.stop_gradient(u) * jv)
-
-    dtheta, dx = jax.grad(scalar_fn, argnums=(0, 1))(params, x)
-
-    res = (vjp_g, dtheta, dx)
+    # Save the Neumann probe pair (u, v) instead of precomputed gradients:
+    # the logdet cotangent dL/dlogdet is only known at backward time and is
+    # per-sample in general (weighted losses), so the params/x terms are
+    # formed in _iresblock_bwd with the actual per-sample weights.  This
+    # keeps the memory-saved property — no series graph is retained, only
+    # two (B, D) probe arrays (+ params/x, which autodiff would save anyway).
+    res = (vjp_g, u, v, params, x)
     return (g, logdet), res
 
 
 def _iresblock_bwd(g_apply, res, cts):
     dL_dg, dL_dlogdet = cts
-    vjp_g, dtheta, dx_logdet = res
+    vjp_g, u, v, params, x = res
 
     # term 1: exact VJP of g
     dparams_1, dx_1 = vjp_g(dL_dg)
 
-    # term 2: saved logdet cotangents.  Per-sample scaling for x (row b of
-    # dx_logdet is d logdet_b / dx_b); the params cotangent is the batch sum,
-    # scaled by the (uniform, for mean losses) scalar cotangent — same
-    # contract as the reference (iresblock.py:169-183).
-    scal = dL_dlogdet[0]
-    dx_2 = dx_logdet * dL_dlogdet.reshape((-1,) + (1,) * (dx_logdet.ndim - 1))
-    dparams_2 = jax.tree_util.tree_map(lambda t: t * scal, dtheta)
+    # term 2: logdet cotangents via the saved Neumann probes.  The
+    # per-sample estimate is logdet_b ~= u_b^T (J_b v_b), so
+    # d(sum_b w_b logdet_b)/d(params, x) = grad of sum((w * u) . jvp(g)[v])
+    # with w = dL/dlogdet applied PER SAMPLE — unlike the reference
+    # (iresblock.py:169-183), which assumes a uniform cotangent (mean
+    # losses); per-sample-weighted losses get exact parameter gradients here.
+    w = dL_dlogdet.reshape((-1,) + (1,) * (u.ndim - 1))
+    wu = jax.lax.stop_gradient(w * u)
+
+    def scalar_fn(p, xx):
+        _, jv = jax.jvp(lambda xxx: g_apply(p, xxx), (xx,), (v,))
+        return jnp.sum(wu * jv)
+
+    dparams_2, dx_2 = jax.grad(scalar_fn, argnums=(0, 1))(params, x)
 
     dparams = jax.tree_util.tree_map(jnp.add, dparams_1, dparams_2)
     return (dparams, dx_1 + dx_2, None)

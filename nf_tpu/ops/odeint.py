@@ -190,7 +190,13 @@ def _adaptive_integrate(tab, func, x0, times):
         return jax.lax.cond(carry[3], lambda c: c, step, carry)
 
     carry = (t_start, x0, dt0, jnp.asarray(False))
-    _, x, _, _ = jax.lax.fori_loop(0, max_iters, body, carry)
+    _, x, _, done = jax.lax.fori_loop(0, max_iters, body, carry)
+    # Budget exhaustion must never return a silently-short integration: the
+    # static trip bound is generous (worst-case dt_min pacing with rejects
+    # interleaved) but not a proof, so if the loop ran out before reaching
+    # t_end, poison the state with NaN so the failure surfaces immediately
+    # instead of biasing the log-det.
+    x = _tm(lambda a: jnp.where(done, a, jnp.nan), x)
     return x
 
 
@@ -200,36 +206,52 @@ _ADAPTIVE = {"bosha3": BOSHA3, "dopri5": DOPRI5}
 SOLVERS = tuple(sorted(list(_FIXED) + list(_ADAPTIVE)))
 
 
-def odeint(func: Callable, x0, times, method: str = "dopri5"):
+def _resolve_tableau(method: str, rtol, atol) -> _Tableau:
+    tab = _ADAPTIVE[method]
+    if rtol is None and atol is None:
+        return tab
+    return _Tableau(tab.order, tab.c_t, tab.c_x, tab.c_err,
+                    rtol if rtol is not None else tab.rtol,
+                    atol if atol is not None else tab.atol)
+
+
+def odeint(func: Callable, x0, times, method: str = "dopri5",
+           rtol: float | None = None, atol: float | None = None):
     """Integrate dx/dt = func(t, x) from times[0] to times[-1].
 
     ``x0`` is any pytree; ``func`` returns the same pytree structure.
     Differentiable in reverse mode (backprop='normal' path).
+    ``rtol``/``atol`` override the adaptive tableau's default tolerances
+    (ignored by fixed-step solvers).
     """
     if method in _FIXED:
         return _fixed_integrate(_FIXED[method], func, x0, times)
     if method in _ADAPTIVE:
-        return _adaptive_integrate(_ADAPTIVE[method], func, x0, times)
+        return _adaptive_integrate(_resolve_tableau(method, rtol, atol),
+                                   func, x0, times)
     raise ValueError(f"unknown solver {method!r}; available: {SOLVERS}")
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 4))
-def odeint_adjoint(func: Callable, params, x0, times, method: str = "dopri5"):
+@partial(jax.custom_vjp, nondiff_argnums=(0, 4, 5, 6))
+def odeint_adjoint(func: Callable, params, x0, times, method: str = "dopri5",
+                   rtol: float | None = None, atol: float | None = None):
     """odeint with O(1)-memory adjoint gradient.
 
     ``func(params, t, x) -> dx``.  Gradients for params and x0 come from
     integrating the augmented adjoint ODE backward in time
     (parity: reference OdeIntAdjoint, flows/odeint.py:250-284).
     """
-    return odeint(lambda t, x: func(params, t, x), x0, times, method)
+    return odeint(lambda t, x: func(params, t, x), x0, times, method,
+                  rtol, atol)
 
 
-def _adjoint_fwd(func, params, x0, times, method):
-    x1 = odeint(lambda t, x: func(params, t, x), x0, times, method)
+def _adjoint_fwd(func, params, x0, times, method, rtol, atol):
+    x1 = odeint(lambda t, x: func(params, t, x), x0, times, method,
+                rtol, atol)
     return x1, (params, x1, times)
 
 
-def _adjoint_bwd(func, method, res, ct_x1):
+def _adjoint_bwd(func, method, rtol, atol, res, ct_x1):
     params, x1, times = res
     zero_params = _tm(jnp.zeros_like, params)
 
@@ -242,7 +264,8 @@ def _adjoint_bwd(func, method, res, ct_x1):
 
     aug0 = (ct_x1, x1, zero_params)
     rev_times = jnp.flip(times)
-    adj_x0, _, adj_params = odeint(aug_dyn, aug0, rev_times, method)
+    adj_x0, _, adj_params = odeint(aug_dyn, aug0, rev_times, method,
+                                   rtol, atol)
     return (adj_params, adj_x0, None)
 
 

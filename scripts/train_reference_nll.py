@@ -34,6 +34,9 @@ def heldout(name="normals"):
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
     network = sys.argv[2] if len(sys.argv) > 2 else "realnvp"
+    # optional: evaluate + dump a partial anchor every N steps, so slow
+    # torch runs yield a usable parity point even if wall-clock runs out
+    eval_every = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     from flows import MAF, Ffjord, Flowpp, Glow, PlanarFlow, RealNVP, ResFlow
     nets = {"realnvp": (RealNVP, dict(layers=32)),
             "glow": (Glow, dict(layers=32)),
@@ -57,6 +60,19 @@ def main():
     fn, _, _ = TOY_SAMPLERS["normals"]
     rng = np.random.default_rng(0)
     t0 = time.time()
+
+    def eval_heldout():
+        net.eval()
+        ho = torch.from_numpy(heldout())
+        with torch.no_grad():
+            acc = 0.0
+            for i in range(0, HELDOUT_N, 4096):
+                yb = ho[i:i + 4096]
+                z, logdet = net(yb)
+                acc += float(-(normal.log_prob(z) + logdet).sum())
+        net.train()
+        return acc / HELDOUT_N
+
     net.train()
     for step in range(1, steps + 1):
         y = torch.from_numpy(fn(1024, rng))
@@ -69,16 +85,17 @@ def main():
         if step % 1000 == 0 or step == 1:
             print(f"[{step}/{steps}] loss={loss.item():.5f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
+        if eval_every and step % eval_every == 0 and step != steps:
+            part = {"framework": "reference-torch", "network": network,
+                    "dataset": "normals", "steps": step,
+                    "heldout_nll_nats": eval_heldout(),
+                    "train_minutes": (time.time() - t0) / 60,
+                    "partial": True}
+            print("partial:", json.dumps(part), flush=True)
+            with open(f"PARITY_reference_{network}_partial.json", "w") as f:
+                json.dump(part, f, indent=2)
 
-    net.eval()
-    ho = torch.from_numpy(heldout())
-    with torch.no_grad():
-        nll = 0.0
-        for i in range(0, HELDOUT_N, 4096):
-            yb = ho[i:i + 4096]
-            z, logdet = net(yb)
-            nll += float(-(normal.log_prob(z) + logdet).sum())
-        nll /= HELDOUT_N
+    nll = eval_heldout()
 
     out = {"framework": "reference-torch", "network": network,
            "dataset": "normals", "steps": steps,

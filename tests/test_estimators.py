@@ -85,3 +85,56 @@ def test_memory_saved_gradients_match_exact(rng):
     err = float(jnp.max(jnp.abs(g_ms - g_exact)))
     scale = float(jnp.max(jnp.abs(g_exact))) + 1e-8
     assert err / scale < 0.15, (err, scale)
+
+
+def test_memory_saved_per_sample_logdet_cotangent(rng):
+    """Non-uniform per-sample logdet weights must reach the params gradient.
+
+    The reference (iresblock.py:169-183) scales the saved params cotangent
+    by a single scalar — correct only for mean losses.  nf_tpu weights the
+    Neumann probe per sample in _iresblock_bwd, so weighted losses get
+    exact parameter gradients too.
+    """
+    d = 3
+    k1, k2, k3 = jax.random.split(rng, 3)
+    W0 = 0.3 * jax.random.normal(k1, (d, d))
+
+    def g_apply(params, x):
+        return jnp.tanh(x @ params["W"])
+
+    x = jax.random.normal(k2, (8, d)) * 0.5
+    params = {"W": W0}
+    # fixed non-uniform per-sample weights
+    w = jnp.linspace(0.1, 2.0, 8)
+
+    def loss_memsaved(p, key):
+        _, logdet = est.iresblock_forward(g_apply, p, x, key)
+        return jnp.sum(w * logdet)
+
+    def loss_exact(p):
+        logdet = est.logdet_exact(lambda xx: g_apply(p, xx), x)
+        return jnp.sum(w * logdet)
+
+    g_exact = jax.grad(loss_exact)(params)["W"]
+    keys = jax.random.split(k3, 96)
+    g_ms = jnp.mean(jnp.stack(
+        [jax.grad(loss_memsaved)(params, k)["W"] for k in keys]), 0)
+    err = float(jnp.max(jnp.abs(g_ms - g_exact)))
+    scale = float(jnp.max(jnp.abs(g_exact))) + 1e-8
+    assert err / scale < 0.15, (err, scale)
+
+    # a uniform-weight run must also still match (regression vs the old path)
+    def loss_mean(p, key):
+        _, logdet = est.iresblock_forward(g_apply, p, x, key)
+        return jnp.mean(logdet)
+
+    def loss_mean_exact(p):
+        logdet = est.logdet_exact(lambda xx: g_apply(p, xx), x)
+        return jnp.mean(logdet)
+
+    g_exact_u = jax.grad(loss_mean_exact)(params)["W"]
+    g_ms_u = jnp.mean(jnp.stack(
+        [jax.grad(loss_mean)(params, k)["W"] for k in keys]), 0)
+    err_u = float(jnp.max(jnp.abs(g_ms_u - g_exact_u)))
+    scale_u = float(jnp.max(jnp.abs(g_exact_u))) + 1e-8
+    assert err_u / scale_u < 0.15, (err_u, scale_u)

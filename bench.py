@@ -1,12 +1,25 @@
-"""Headline benchmark: flagship flow forward+inverse throughput on TPU.
+"""Benchmark: the full seven-model zoo on TPU, plus the headline metric.
 
-Workload mirrors the reference's default config (RealNVP density, 32
-coupling steps — /root/reference/configs/default.yaml:6-7) at batch 8192.
-Baseline: the PyTorch reference itself measured on this machine
-(scripts/measure_reference.py -> BENCH_BASELINE.json).
+Workloads mirror the reference's default density configs
+(/root/reference/configs/default.yaml + configs/network/*.yaml) at batch
+8192 for eval (fwd+inverse pairs) and batch 1024 for training (the
+reference's train batch).  Baseline: the PyTorch reference measured on this
+machine (scripts/measure_reference.py -> BENCH_BASELINE.json; torch-CPU,
+2 threads — the only reference hardware available here).
 
-Prints ONE JSON line:
+Two serving paths are measured and labelled separately (they are NOT
+comparable to each other):
+  * eval_program — packed weights, whole-stack fused Pallas kernel where
+    the structure matches (ops/pallas/fused_stack.py); the serving path.
+  * chain_jit    — plain jitted Chain forward/inverse, re-deriving packed
+    weights per call like the reference does; the apples-to-apples path
+    vs the torch baseline's module forward.
+
+stdout contract (driver): exactly ONE JSON line
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+(the headline RealNVP fused fwd+inv number, continuing BENCH_r01's series).
+Everything else — per-model numbers, train throughput, roofline fields,
+fused-vs-chain on-device parity — is written to BENCH_DETAIL.json.
 """
 from __future__ import annotations
 
@@ -17,11 +30,132 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-BATCH = 8192
-LAYERS = 32
+EVAL_BATCH = 8192
+TRAIN_BATCH = 1024
+TRAIN_CHUNK = 8
 WARMUP = 5
 ITERS = 50
+
+ZOO = {
+    "realnvp": dict(layers=32),
+    "glow": dict(layers=32),
+    "flow++": dict(layers=32, mixtures=8),
+    "maf": dict(layers=32),
+    "planar": dict(layers=32),
+    "resflow": dict(layers=32, logdet="unbias", spnorm_coeff=0.9),
+    "ffjord": dict(layers=3, t0=0.0, t1=1.0, stepsize=0.1, solver="dopri5",
+                   backprop="adjoint", trace="hutchinson"),
+}
+
+
+def timeit(fn, *args, iters=ITERS):
+    for _ in range(WARMUP):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    # adapt iteration count to per-call cost so slow models don't stall
+    t0 = time.perf_counter()
+    jax.block_until_ready(fn(*args))
+    t_one = time.perf_counter() - t0
+    n = max(3, min(iters, int(5.0 / max(t_one, 1e-4))))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+
+def bench_model(name, detail):
+    from nf_tpu.config import Config, NetworkConfig
+    from nf_tpu.core import Ctx
+    from nf_tpu.models import build_model
+    from nf_tpu.train import Trainer
+    from nf_tpu.utils.profiling import roofline_estimate
+
+    cfg = Config()
+    cfg.network = NetworkConfig(name=name, **ZOO[name])
+    model = build_model(name, (2,), datatype="2d", cfg=cfg.network)
+
+    key = jax.random.PRNGKey(0)
+    var = model.init(key)
+    y = jax.random.normal(jax.random.fold_in(key, 1), (EVAL_BATCH, 2))
+    z = jax.random.normal(jax.random.fold_in(key, 2), (EVAL_BATCH, 2))
+    entry = {}
+
+    # ---- serving path: packed weights (+ fused Pallas stack where matched)
+    prog = model.eval_program(var)
+    t_fwd = timeit(lambda: prog.forward(y))
+    t_inv = timeit(lambda: prog.inverse(z))
+    entry["eval_program_fwd_inv_samples_per_s"] = EVAL_BATCH / (t_fwd + t_inv)
+    entry["fused_stack"] = bool(model._fused_spec is not None
+                                and jax.devices()[0].platform == "tpu")
+
+    # ---- chain path: jitted per-call forward/inverse (packs weights per
+    # call — comparable to the torch reference's module forward)
+    ctx = Ctx(rng=None, train=False)
+    cf = jax.jit(lambda v, x: model.forward(v, x, ctx)[:2])
+    ci = jax.jit(lambda v, x: model.inverse(v, x, ctx)[:2])
+    tc_f = timeit(lambda: cf(var, y))
+    tc_i = timeit(lambda: ci(var, z))
+    entry["chain_jit_fwd_inv_samples_per_s"] = EVAL_BATCH / (tc_f + tc_i)
+
+    # ---- on-device fused-vs-chain parity (serving path must match the
+    # validated Chain math on the real chip, not just in interpret mode)
+    zf, ldf = prog.forward(y)
+    zc, ldc = cf(var, y)
+    entry["fused_vs_chain_fwd_max_abs_err"] = float(jnp.max(jnp.abs(zf - zc)))
+    entry["fused_vs_chain_logdet_max_abs_err"] = float(
+        jnp.max(jnp.abs(ldf - ldc)))
+
+    # ---- train-step throughput (chunked steps, reference batch size)
+    tr = Trainer(model, cfg.optimizer, seed=0)
+    batch0 = np.asarray(
+        jax.random.normal(jax.random.fold_in(key, 3), (TRAIN_BATCH, 2)))
+    ts = tr.init_state(key, batch0)
+    chunk = np.asarray(jax.random.normal(
+        jax.random.fold_in(key, 4), (TRAIN_CHUNK, TRAIN_BATCH, 2)))
+
+    def run_chunk():
+        nonlocal ts
+        ts, losses = tr.train_steps(ts, chunk)
+        return losses
+
+    t_chunk = timeit(run_chunk, iters=20)
+    entry["train_samples_per_s"] = TRAIN_CHUNK * TRAIN_BATCH / t_chunk
+
+    # ---- roofline: XLA cost analysis of the Chain fwd+inv (the fused
+    # Pallas kernel is opaque to cost analysis; FLOPs are a property of
+    # the math, so achieved-FLOP/s for the serving path uses chain FLOPs
+    # over the serving path's measured time)
+    try:
+        rl_f = roofline_estimate(lambda v, x: model.forward(v, x, ctx)[:2],
+                                 var, y, measured_seconds=tc_f)
+        rl_i = roofline_estimate(lambda v, x: model.inverse(v, x, ctx)[:2],
+                                 var, z, measured_seconds=tc_i)
+        flops = rl_f["flops"] + rl_i["flops"]
+        entry["roofline"] = {
+            "flops_fwd_inv": flops,
+            "flops_per_sample": flops / EVAL_BATCH,
+            "bytes_accessed": rl_f["bytes_accessed"] + rl_i["bytes_accessed"],
+            "arithmetic_intensity": (
+                flops / max(rl_f["bytes_accessed"] + rl_i["bytes_accessed"], 1.0)),
+            "ridge_intensity": rl_f["ridge_intensity"],
+            "chain_achieved_tflops": flops / (tc_f + tc_i) / 1e12,
+            "chain_pct_of_peak_flops": (
+                rl_f["pct_of_peak_flops"] * rl_f["flops"]
+                + rl_i["pct_of_peak_flops"] * rl_i["flops"]) / max(flops, 1.0),
+            "chain_pct_of_peak_bw": (
+                rl_f["pct_of_peak_bw"] * rl_f["bytes_accessed"]
+                + rl_i["pct_of_peak_bw"] * rl_i["bytes_accessed"])
+                / max(rl_f["bytes_accessed"] + rl_i["bytes_accessed"], 1.0),
+            "eval_program_achieved_tflops": flops / (t_fwd + t_inv) / 1e12,
+        }
+    except Exception as e:  # cost analysis availability varies by backend
+        entry["roofline_error"] = repr(e)
+
+    detail["models"][name] = entry
+    return entry
 
 
 def main():
@@ -32,41 +166,39 @@ def main():
     except Exception:
         pass
 
-    from nf_tpu.config import Config, NetworkConfig
-    from nf_tpu.core import Ctx
-    from nf_tpu.models import build_model
+    only = sys.argv[1].split(",") if len(sys.argv) > 1 else list(ZOO)
 
-    cfg = Config()
-    cfg.network = NetworkConfig(name="realnvp", layers=LAYERS)
-    model = build_model("realnvp", (2,), datatype="2d", cfg=cfg.network)
+    detail = {
+        "platform": jax.devices()[0].platform,
+        "device": str(jax.devices()[0]),
+        "eval_batch": EVAL_BATCH,
+        "train_batch": TRAIN_BATCH,
+        "train_chunk": TRAIN_CHUNK,
+        "methodology": (
+            "eval_program = packed-weight serving path (fused Pallas stack "
+            "where structure matches); chain_jit = per-call jitted Chain "
+            "(re-derives packed weights per call, comparable to the torch "
+            "module forward). Times are means over adaptive iteration "
+            "counts after 5 warmup calls, block_until_ready-synced."),
+        "models": {},
+    }
+    for name in only:
+        t0 = time.time()
+        entry = bench_model(name, detail)
+        print(f"# {name}: eval_program "
+              f"{entry['eval_program_fwd_inv_samples_per_s']:.0f}/s, chain "
+              f"{entry['chain_jit_fwd_inv_samples_per_s']:.0f}/s, train "
+              f"{entry['train_samples_per_s']:.0f}/s "
+              f"({time.time()-t0:.0f}s)", file=sys.stderr, flush=True)
 
-    key = jax.random.PRNGKey(0)
-    var = model.init(key)
-    y = jax.random.normal(jax.random.fold_in(key, 1), (BATCH, 2))
-    z = jax.random.normal(jax.random.fold_in(key, 2), (BATCH, 2))
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=2)
 
-    # serving path: packs weights once; on TPU the whole stack runs as a
-    # single fused Pallas kernel (nf_tpu/ops/pallas/fused_stack.py)
-    prog = model.eval_program(var)
-    fwd = lambda v, x: prog.forward(x)
-    inv = lambda v, x: prog.inverse(x)
-
-    def timeit(fn, *args):
-        for _ in range(WARMUP):
-            jax.block_until_ready(fn(*args))
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / ITERS
-
-    t_fwd = timeit(fwd, var, y)
-    t_inv = timeit(inv, var, z)
-    value = BATCH / (t_fwd + t_inv)
-
-    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 "BENCH_BASELINE.json")
+    value = detail["models"]["realnvp"]["eval_program_fwd_inv_samples_per_s"] \
+        if "realnvp" in detail["models"] else 0.0
     vs = None
+    baseline_path = os.path.join(here, "BENCH_BASELINE.json")
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
             base = json.load(f)

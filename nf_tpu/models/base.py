@@ -42,7 +42,9 @@ class FlowModel:
             return self.bijector.init(key)
         with jax.default_device(cpu):
             var = self.bijector.init(jax.device_put(key, cpu))
-        return jax.device_put(var, jax.devices()[0])
+        # local_devices, not devices: under multi-process, global device 0
+        # is not addressable from non-zero processes
+        return jax.device_put(var, jax.local_devices()[0])
 
     def data_dependent_init(self, var: Variables, batch, rng=None) -> Variables:
         """Run the one-time data-dependent init pass (ActNorm et al.).

@@ -4,6 +4,7 @@ custom-vjp gradients.  Formalizes the reference's inline self-tests
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nf_tpu.ops import estimators as est
 
@@ -56,6 +57,7 @@ def test_geometric_sampler_mean(rng):
     assert abs(float(jnp.mean(samples.astype(jnp.float32))) - 2.0) < 0.15
 
 
+@pytest.mark.slow
 def test_memory_saved_gradients_match_exact(rng):
     """custom_vjp (Neumann) gradient ~= gradient of the exact logdet."""
     d = 3
@@ -87,6 +89,7 @@ def test_memory_saved_gradients_match_exact(rng):
     assert err / scale < 0.15, (err, scale)
 
 
+@pytest.mark.slow
 def test_memory_saved_per_sample_logdet_cotangent(rng):
     """Non-uniform per-sample logdet weights must reach the params gradient.
 

@@ -1,0 +1,72 @@
+"""Tensor-parallel parity: a (data x model) mesh must reproduce
+single-device numerics, not just produce finite losses.
+
+Complements test_train_realnvp.py::test_sharded_matches_single_device
+(DP-only, mesh (8,1)) by exercising the model axis: conditioner matrices
+get P(..., 'model') via parallel/sharding.py:tp_shardings and XLA inserts
+the collectives.  The reference has no distributed story (SURVEY.md §2.4);
+parity-vs-single-device is the correctness contract for ours.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nf_tpu.config import Config, NetworkConfig
+from nf_tpu.models import build_model
+from nf_tpu.parallel.sharding import tp_shardings
+from nf_tpu.train import Trainer
+
+
+def _mesh(shape, names=("data", "model")):
+    from jax.sharding import Mesh
+    devs = np.array(jax.devices()[: shape[0] * shape[1]]).reshape(shape)
+    return Mesh(devs, names)
+
+
+def _cfg():
+    cfg = Config()
+    # base_filters=64 makes the 64x64 conditioner matrices large enough
+    # (>= min_size) for the TP rule to shard them over 'model'
+    cfg.network = NetworkConfig(name="realnvp", layers=4, base_filters=64)
+    return cfg
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_tp_mesh_matches_single_device(rng):
+    cfg = _cfg()
+    model = build_model("realnvp", (2,), datatype="2d", cfg=cfg.network)
+    batch = np.asarray(jax.random.normal(rng, (64, 2))) * 0.7
+    eval_batch = np.asarray(
+        jax.random.normal(jax.random.fold_in(rng, 1), (32, 2))) * 0.7
+
+    def run(mesh):
+        tr = Trainer(model, cfg.optimizer, mesh=mesh, seed=0)
+        ts = tr.init_state(jax.random.PRNGKey(0), batch)
+        losses = []
+        for _ in range(3):
+            ts, loss = tr.train_step(ts, batch)
+            losses.append(float(loss))
+        logp = np.asarray(tr.log_prob(ts, eval_batch))
+        return losses, logp
+
+    losses_tp, logp_tp = run(_mesh((4, 2)))
+    losses_1, logp_1 = run(None)
+
+    np.testing.assert_allclose(losses_tp, losses_1, atol=1e-4)
+    np.testing.assert_allclose(logp_tp, logp_1, atol=1e-3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_tp_rule_actually_shards(rng):
+    """Guard against the TP parity test passing vacuously: the sharding
+    rule must place at least one matrix over the 'model' axis."""
+    cfg = _cfg()
+    model = build_model("realnvp", (2,), datatype="2d", cfg=cfg.network)
+    var = model.init(jax.random.PRNGKey(0))
+    mesh = _mesh((4, 2))
+    specs = tp_shardings(var["params"], mesh)
+    sharded = [s for s in jax.tree_util.tree_leaves(
+        specs, is_leaf=lambda x: hasattr(x, "spec"))
+        if "model" in str(s.spec)]
+    assert sharded, "TP rule sharded nothing — parity test would be vacuous"

@@ -151,3 +151,22 @@ def test_remat_matches_no_remat(rng):
     for a, b in zip(jax.tree_util.tree_leaves(s1.params),
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_checkpoint_structure_mismatch_raises(rng, tmp_path):
+    """A checkpoint loaded into a different model config must fail loudly
+    (the fingerprint catches reordered/mismatched stacks even when leaf
+    count or shapes coincide)."""
+    cfg = small_cfg(layers=2)
+    model = build_model("realnvp", (2,), datatype="2d", cfg=cfg.network)
+    tr = Trainer(model, cfg.optimizer, seed=0)
+    ts = tr.init_state(rng, np.zeros((16, 2), np.float32))
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, ts, 0)
+
+    cfg4 = small_cfg(layers=4)
+    model4 = build_model("realnvp", (2,), datatype="2d", cfg=cfg4.network)
+    tr4 = Trainer(model4, cfg4.optimizer, seed=0)
+    ts4 = tr4.init_state(rng, np.zeros((16, 2), np.float32))
+    with pytest.raises(ValueError, match="structure mismatch"):
+        load_checkpoint(path, ts4)

@@ -66,6 +66,7 @@ def main(argv=None):
         data_root=cfg.run.data_root,
         shard_id=jax.process_index(),
         num_shards=jax.process_count(),
+        dequantize=cfg.run.dequantize,
     )
 
     model = build_model(cfg.network.name, dataset.dims,
@@ -126,6 +127,17 @@ def main(argv=None):
 
         if step <= start_step + chunk or step % (display * 100) < chunk:
             writer.scalar(f"{dataset.dtype}/train/loss", float(loss), step)
+            if dataset.dtype == "image":
+                # bits/dim = NLL(nats) / (D ln 2) — the image-flow headline
+                # metric (nats-only in the reference, main.py:85)
+                d = int(np.prod(dataset.dims))
+                bpd = float(loss) / (d * np.log(2.0))
+                writer.scalar("image/train/bits_per_dim", bpd, step)
+                if cfg.run.dequantize:
+                    # discrete 8-bit bits/dim: + log2(256) for the
+                    # dequantization change of measure
+                    writer.scalar("image/train/bits_per_dim_discrete",
+                                  bpd + 8.0, step)
             save_files = (cfg.run.save_all_reports
                           or step % (display * 1000) < chunk
                           or step <= start_step + chunk)

@@ -101,6 +101,10 @@ class RunConfig:
     # write image files on every report tick (for training movies), not
     # just every display*1000 steps
     save_all_reports: bool = False
+    # uniform dequantization of 8-bit image data: y = (255x+u)/256.  The
+    # reference trains on raw [0,1] pixels (unbounded image loss); enable
+    # this for a well-posed bits/dim objective
+    dequantize: bool = False
     # force a JAX platform ('cpu' / 'tpu'); None = environment default.
     # (env JAX_PLATFORMS alone is overridden by the axon sitecustomize.)
     platform: Optional[str] = None

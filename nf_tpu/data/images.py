@@ -90,6 +90,10 @@ def synthetic_images(name: str, n: int, seed: int) -> np.ndarray:
     if c == 3:  # decorrelate channels a bit
         tint = rng.uniform(0.5, 1.0, size=(n, 1, 1, 3)).astype(np.float32)
         out = out * tint
+    # quantize to the 8-bit grid: the real datasets are uint8/255, and a
+    # continuous stand-in makes the image NLL unbounded (differential
+    # entropy -> -inf), so bits/dim would be meaningless
+    out = np.round(out * 255.0) / 255.0
     return out.astype(np.float32)
 
 

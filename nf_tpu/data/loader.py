@@ -31,7 +31,8 @@ class FlowDataLoader:
     def __init__(self, name: str, batch_size: int = 1024,
                  total_steps: int = 100_000, shuffle: bool = True,
                  seed: int = 0, data_root: str = "data",
-                 shard_id: int = 0, num_shards: int = 1):
+                 shard_id: int = 0, num_shards: int = 1,
+                 dequantize: bool = False):
         if name not in TOY_SAMPLERS and name not in IMAGE_DATASETS:
             raise KeyError(
                 f"unknown dataset {name!r}; choose from "
@@ -43,6 +44,13 @@ class FlowDataLoader:
         self.seed = int(seed)
         self.shard_id = int(shard_id)
         self.num_shards = max(1, int(num_shards))
+        # uniform dequantization for image data: y = (255x + u)/256 with
+        # u ~ U[0,1), the standard trick that bounds the continuous NLL of
+        # 8-bit data (discrete bits/dim = nats/(D ln2) + log2 256).  The
+        # reference trains on raw [0,1] pixels (flows/dataset.py:119-122),
+        # which makes its image loss unbounded; off by default for parity.
+        self.dequantize = bool(dequantize)
+        self._deq_rng = np.random.default_rng(self._mix(seed, shard_id))
 
         self._native = native.load() if native.available() else None
         self._epoch = 0
@@ -65,6 +73,11 @@ class FlowDataLoader:
         self._cursor = 0
 
     # -- PRNG stream bookkeeping ------------------------------------------
+    @staticmethod
+    def _mix(a: int, b: int) -> int:
+        return ((a * 0x9E3779B97F4A7C15 + b * 0xBF58476D1CE4E5B9 + 0x2545F491)
+                & (2**63 - 1))
+
     def _stream_seed(self, epoch: int) -> int:
         # disjoint streams per (seed, shard, epoch); golden-ratio mixing
         # keeps nearby tuples far apart in seed space
@@ -102,7 +115,11 @@ class FlowDataLoader:
         self._cursor += self.batch_size
         if self._native is not None and self._pool.ndim == 2:
             return native.gather_rows(self._pool, idx)
-        return self._pool[idx]
+        batch = self._pool[idx]
+        if self.dequantize and self.dtype == "image":
+            u = self._deq_rng.random(batch.shape, dtype=np.float32)
+            batch = (batch * 255.0 + u) / 256.0
+        return batch
 
     # -- iteration protocol --------------------------------------------------
     def __iter__(self):

@@ -4,6 +4,12 @@ Behavior parity: /root/reference/flows/flowpp.py:9-78 —
   * density: n x [ActNorm -> MixLogAttnCoupling];
   * image: Logit(0.01), multi-scale loop with ActNorm + InvertibleConv1x1 +
     MixLogAttnCoupling per step (checkerboard / channelwise as RealNVP/Glow).
+
+Beyond-parity (cfg.var_dequant, image mode): the Flow++ paper's
+variational dequantization replaces the fixed Logit-only input handling —
+a conditional flow q(u|x) over the dequantization noise trained by the
+ELBO (bijectors/vardequant.py).  The reference has only the Logit(0.01)
+transform (flows/flowpp.py:22).
 """
 from __future__ import annotations
 
@@ -12,6 +18,7 @@ from ..bijectors.elementwise import Logit
 from ..bijectors.flowpp_coupling import MixLogAttnCoupling
 from ..bijectors.norm import ActNorm
 from ..bijectors.squeeze import Squeeze2d, Unsqueeze2d
+from ..bijectors.vardequant import VariationalDequant
 from ..core.bijector import Chain, scan_repeated
 from .base import FlowModel
 
@@ -32,6 +39,8 @@ def build_flowpp(dims, datatype=None, cfg=None) -> FlowModel:
 
     if datatype == "image":
         h, w, c = dims
+        if getattr(cfg, "var_dequant", False):
+            layers.append(VariationalDequant((h, w, c), base_filters=bf))
         layers.append(Logit(eps=0.01))
         mid = (h, w, c)
         while max(mid[0], mid[1]) > 8:

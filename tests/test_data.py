@@ -45,3 +45,26 @@ def test_image_fallback_synthetic(tmp_path):
     assert batch.shape == (8, 32, 32, 1)
     assert batch.dtype == np.float32
     assert 0.0 <= batch.min() and batch.max() <= 1.0
+
+
+def test_synthetic_images_are_quantized():
+    from nf_tpu.data.images import synthetic_images
+    x = synthetic_images("mnist", 16, seed=0)
+    assert x.min() >= 0.0 and x.max() <= 1.0
+    np.testing.assert_allclose(np.round(x * 255.0) / 255.0, x, atol=1e-7)
+
+
+def test_loader_dequantize_contract():
+    from nf_tpu.data import FlowDataLoader
+    dl_raw = FlowDataLoader("mnist", batch_size=32, total_steps=1, seed=3)
+    dl_deq = FlowDataLoader("mnist", batch_size=32, total_steps=1, seed=3,
+                            dequantize=True)
+    raw = dl_raw.next_batch()
+    deq = dl_deq.next_batch()
+    # same underlying pixels: dequantized value is inside the raw pixel's
+    # 1/256 bin, y = (255x + u)/256 with u in [0,1)
+    lo = raw * 255.0 / 256.0
+    assert np.all(deq >= lo - 1e-6)
+    assert np.all(deq < lo + 1.0 / 256.0 + 1e-6)
+    # dequantization is stochastic, not the identity
+    assert not np.allclose(deq, lo)

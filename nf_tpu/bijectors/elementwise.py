@@ -34,20 +34,49 @@ class Sigmoid(Bijector):
 
 
 class Logit(Bijector):
-    """y = logit(clamp(x, eps, 1-eps)); the image-data input transform uses
-    eps=0.01 (reference: flows/realnvp.py:19, flows/modules.py:141-155)."""
+    """y = logit(x) input transform.
 
-    def __init__(self, eps: float = 1.0e-5):
+    ``compress=False`` (reference parity): y = logit(clamp(x, eps, 1-eps))
+    — flows/realnvp.py:19, flows/modules.py:141-155.  The clamp makes the
+    map NON-INJECTIVE on [0, eps): every sub-eps pixel collapses to eps,
+    so the "density" integrates to > 1 and image likelihoods are inflated
+    without bound (8-bit background pixels dequantize to u/256 < 0.01 and
+    sit squarely in the clamp).  Same exploit class as the reference's
+    MixLogCDF clamp (see bijectors/mixlogcdf.py).
+
+    ``compress=True`` (the image builders' default): the standard RealNVP
+    treatment y = logit(eps + (1-2eps) x) — a true bijection of [0, 1]
+    whose squash is paid for in the log-det (+ D log(1-2eps)), keeping the
+    image NLL a normalized likelihood."""
+
+    def __init__(self, eps: float = 1.0e-5, compress: bool = False):
         self.eps = eps
+        self.compress = compress
 
     def forward(self, var, x, ctx):
+        if self.compress:
+            scale = 1.0 - 2.0 * self.eps
+            x = self.eps + scale * x
+            d = 1
+            for s in x.shape[1:]:
+                d *= s
+            ld = fm.sum_except_batch(fm.log_deriv_logit(x)) \
+                + d * jnp.log(scale)
+            return fm.logit(x), ld, var["state"]
         x = jnp.clip(x, self.eps, 1.0 - self.eps)
         ld = fm.sum_except_batch(fm.log_deriv_logit(x))
         return fm.logit(x), ld, var["state"]
 
     def inverse(self, var, y, ctx):
+        s = jnp.reciprocal(1.0 + jnp.exp(-y))
         ld = fm.sum_except_batch(fm.log_deriv_sigmoid(y))
-        return jnp.reciprocal(1.0 + jnp.exp(-y)), ld, var["state"]
+        if self.compress:
+            scale = 1.0 - 2.0 * self.eps
+            d = 1
+            for sh in s.shape[1:]:
+                d *= sh
+            return (s - self.eps) / scale, ld - d * jnp.log(scale), var["state"]
+        return s, ld, var["state"]
 
 
 class Tanh(Bijector):

@@ -31,7 +31,7 @@ def build_ffjord(dims, datatype=None, cfg=None) -> FlowModel:
     times = np.linspace(cfg.t0, cfg.t1, steps, dtype=np.float32)
     rtol = getattr(cfg, "rtol", None)
     atol = getattr(cfg, "atol", None)
-    layers = [Logit(eps=0.01)] if is_image else []
+    layers = [Logit(eps=0.01, compress=True)] if is_image else []
     for _ in range(cfg.layers):
         layers.append(ActNorm(dims[-1]))
         layers.append(CNF(dims, times=times, solver=cfg.solver,

@@ -41,7 +41,7 @@ def build_flowpp(dims, datatype=None, cfg=None) -> FlowModel:
         h, w, c = dims
         if getattr(cfg, "var_dequant", False):
             layers.append(VariationalDequant((h, w, c), base_filters=bf))
-        layers.append(Logit(eps=0.01))
+        layers.append(Logit(eps=0.01, compress=True))
         mid = (h, w, c)
         while max(mid[0], mid[1]) > 8:
             emit([l for i in range(n_layers) for l in (

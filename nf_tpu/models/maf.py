@@ -38,7 +38,7 @@ def build_maf(dims, datatype=None, cfg=None) -> FlowModel:
                 d, base_filters=cfg.base_filters))
         if scan:
             stage = [scan_repeated(stage, 2, remat=remat)]
-        layers = ([Logit(eps=0.01), Flatten(dims)] + stage
+        layers = ([Logit(eps=0.01, compress=True), Flatten(dims)] + stage
                   + [Inverted(Flatten(dims))])
         return FlowModel("maf", Chain(layers, remat=remat and not scan), dims)
     layers = []

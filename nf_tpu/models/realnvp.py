@@ -41,7 +41,7 @@ def build_realnvp(dims, datatype=None, cfg=None) -> FlowModel:
 
     if datatype == "image":
         h, w, c = dims
-        layers.append(Logit(eps=0.01))
+        layers.append(Logit(eps=0.01, compress=True))
         mid = (h, w, c)
         while max(mid[0], mid[1]) > 8:
             emit([l for i in range(n_layers) for l in (

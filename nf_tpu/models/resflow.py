@@ -41,7 +41,7 @@ def build_resflow(dims, datatype=None, cfg=None) -> FlowModel:
                 spatial=spatial))
         if scan:
             stage = [scan_repeated(stage, 2, remat=remat)]
-        layers = ([Logit(eps=0.01), Squeeze2d(odd=False)] + stage
+        layers = ([Logit(eps=0.01, compress=True), Squeeze2d(odd=False)] + stage
                   + [Unsqueeze2d(odd=False)])
         return FlowModel("resflow", Chain(layers, remat=remat and not scan),
                          dims)

@@ -9,8 +9,15 @@ by main.py):
 
   * data: deterministic synthetic MNIST-like images (nf_tpu/data/images.py
     generator, seed 777), 2x2-subsampled to 16x16, quantized to the 8-bit
-    grid, then uniformly dequantized ONCE with a fixed seed — both
-    frameworks train and evaluate on the exact same float arrays;
+    grid, uniformly dequantized ONCE with a fixed seed, then affinely
+    rescaled into [MARGIN, 1-MARGIN] — both frameworks train and evaluate
+    on the exact same float arrays.  The rescale keeps every pixel clear
+    of the reference's Logit clamp (flows/modules.py:148: x < eps pixels
+    COLLAPSE, making its image likelihood unnormalized/unboundedly
+    inflated — nf_tpu's image stacks use a volume-tracked compressed
+    logit instead, see bijectors/elementwise.py), so both models are
+    honest normalized densities and their NLLs are comparable.  Discrete
+    bits/dim accounts for the bin width (1-2*MARGIN)/256;
   * batches: a fixed index sequence (seed 31337), identical across
     frameworks;
   * model: RealNVP or Glow multi-scale image stack, layers=8,
@@ -46,6 +53,9 @@ N_HELDOUT = 2048
 D = IMG * IMG
 
 
+MARGIN = 0.05
+
+
 def build_data():
     from nf_tpu.data.images import synthetic_images
     x = synthetic_images("mnist", N_TRAIN + N_HELDOUT, seed=777)
@@ -54,6 +64,7 @@ def build_data():
     rng = np.random.default_rng(4242)
     u = rng.random(x.shape, dtype=np.float32)
     y = ((x * 255.0 + u) / 256.0).astype(np.float32)  # NHWC in [0,1)
+    y = MARGIN + (1.0 - 2.0 * MARGIN) * y  # clear of the reference's clamp
     return y[:N_TRAIN], y[N_TRAIN:]
 
 
@@ -151,15 +162,18 @@ def main():
     run = {"reference": run_reference, "nf_tpu": run_nf_tpu}[framework]
     nll, minutes = run(network, steps)
     bpd = nll / (D * np.log(2.0))
+    # discrete bpd: bin width is (1-2*MARGIN)/256 after the affine rescale
+    bpd_disc = bpd + 8.0 + np.log2(1.0 - 2.0 * MARGIN)
     out = {
         "framework": ("reference-torch" if framework == "reference"
                       else "nf_tpu"),
         "network": network,
-        "dataset": f"synthetic-mnist-{IMG}x{IMG}-dequantized",
+        "dataset": (f"synthetic-mnist-{IMG}x{IMG}-dequantized-"
+                    f"rescaled{MARGIN}"),
         "steps": steps, "batch": BATCH, "layers": LAYERS,
         "heldout_nll_nats": nll,
         "bits_per_dim": bpd,
-        "bits_per_dim_discrete": bpd + 8.0,
+        "bits_per_dim_discrete": bpd_disc,
         "train_minutes": minutes,
     }
     print(json.dumps(out))

@@ -66,3 +66,33 @@ def test_chain_inverse_order(rng):
     x2, ld_i, _ = chain.inverse(var, y, ctx)
     np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-4)
     np.testing.assert_allclose(np.asarray(ld_f + ld_i), 0.0, atol=1e-4)
+
+
+def test_compressed_logit_is_bijective_at_boundaries(rng):
+    """compress=True must round-trip exact 0/1 pixels (the clamped parity
+    variant collapses [0, eps) and inflates image likelihoods unboundedly)."""
+    from nf_tpu.bijectors.elementwise import Logit
+    import numpy as np
+
+    b = Logit(eps=0.01, compress=True)
+    var = b.init(rng)
+    x = jnp.asarray([[0.0, 0.001, 0.5, 0.999, 1.0]])
+    y, ld_f, _ = b.forward(var, x, Ctx())
+    x2, ld_i, _ = b.inverse(var, y, Ctx())
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ld_f), -np.asarray(ld_i), rtol=1e-6)
+
+    # logdet matches the autodiff Jacobian (normalized density guarantee)
+    def f(v):
+        y, _, _ = b.forward(var, v.reshape(1, -1), Ctx())
+        return y.reshape(-1)
+
+    J = jax.jacfwd(f)(x.reshape(-1))
+    np.testing.assert_allclose(
+        float(ld_f[0]), float(jnp.linalg.slogdet(J)[1]), rtol=1e-5)
+
+    # the clamped variant really is non-injective below eps (regression doc)
+    bc = Logit(eps=0.01, compress=False)
+    y0, _, _ = bc.forward(var, jnp.asarray([[0.0]]), Ctx())
+    y1, _, _ = bc.forward(var, jnp.asarray([[0.005]]), Ctx())
+    assert float(jnp.abs(y0 - y1)[0, 0]) < 1e-12

@@ -32,6 +32,7 @@ def _cfg():
     return cfg
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_tp_mesh_matches_single_device(rng):
     cfg = _cfg()

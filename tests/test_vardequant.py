@@ -54,6 +54,7 @@ def test_vardequant_elbo_penalty_included(rng):
     assert abs(float(jnp.mean(ld)) - base) < 3.0 * d, (float(jnp.mean(ld)), base)
 
 
+@pytest.mark.slow
 def test_flowpp_vardequant_trains(rng):
     cfg = Config()
     cfg.network = NetworkConfig(name="flow++", layers=1, base_filters=8,

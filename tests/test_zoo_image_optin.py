@@ -10,6 +10,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from nf_tpu.config import Config, NetworkConfig
 from nf_tpu.core import Ctx
 from nf_tpu.models import build_model

@@ -73,8 +73,11 @@ class MADE(Net):
         for i, h in enumerate(self.hidden_dims):
             k = jax.random.fold_in(key, i)
             min_k = jnp.minimum(jnp.min(m_prev), d - 2)
-            m = jax.random.randint(k, (h,), 0, max(d - 1, 1)) % jnp.maximum(
-                (d - 1) - min_k, 1) + min_k
+            # same distribution as the init-time numpy path (made_degrees):
+            # uniform over [min_k, max(d-1, min_k+1)) — jax.random.randint
+            # takes traced bounds directly, no modulo (which would bias)
+            m = jax.random.randint(k, (h,), min_k,
+                                   jnp.maximum(d - 1, min_k + 1))
             masks.append((m_prev[:, None] <= m[None, :]).astype(jnp.float32))
             m_prev = m
         masks.append((m_prev[:, None] < jnp.arange(d)[None, :])

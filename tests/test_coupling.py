@@ -125,3 +125,35 @@ def test_logdet_matches_autodiff_jacobian(name, rng):
         np.testing.assert_allclose(np.asarray(ld), np.asarray(true_ld),
                                    atol=5e-3, rtol=1e-4,
                                    err_msg=f"{name} point {i}")
+
+
+def test_made_traced_masks_match_init_distribution(rng):
+    """resample_masks' traced sampler must draw degrees from the SAME
+    distribution as the init-time numpy path (uniform over
+    [min_k, d-1)) — the reference resamples with np.random on every
+    forward (flows/maf.py:49-50, 66-85)."""
+    import numpy as np
+    from nf_tpu.bijectors.made import MADE, made_degrees
+
+    d, h = 6, 32
+    made = MADE(d, num_hidden=1, base_filters=h, resample_masks=True)
+
+    # traced degrees: recover m from the first hidden mask (column k has
+    # m_prev[j] <= m[k] for j = 0..d-1, so m[k] = (count of ones) - 1)
+    import jax
+    counts = np.zeros(d - 1, np.int64)
+    for i in range(512):
+        masks = made._sample_masks_traced(jax.random.fold_in(rng, i))
+        m = np.asarray(masks[0]).sum(axis=0).astype(np.int64) - 1
+        counts += np.bincount(m, minlength=d - 1)[:d - 1]
+    freq = counts / counts.sum()
+
+    # numpy path distribution
+    counts_np = np.zeros(d - 1, np.int64)
+    g = np.random.default_rng(0)
+    for i in range(512):
+        degs = made_degrees(d, [h], g)
+        counts_np += np.bincount(degs[1], minlength=d - 1)[:d - 1]
+    freq_np = counts_np / counts_np.sum()
+
+    np.testing.assert_allclose(freq, freq_np, atol=0.02)

@@ -91,6 +91,19 @@ def run_reference(network, steps):
     def to_torch(a):
         return torch.from_numpy(np.transpose(a, (0, 3, 1, 2)).copy())
 
+    def eval_heldout():
+        net.eval()
+        acc = 0.0
+        with torch.no_grad():
+            for i in range(0, N_HELDOUT, 256):
+                yb = to_torch(heldout[i:i + 256])
+                z, logdet = net(yb)
+                acc += float(-(normal.log_prob(z)
+                               .reshape(z.size(0), -1).sum(1)
+                               + logdet).sum())
+        net.train()
+        return acc / N_HELDOUT
+
     t0 = time.time()
     net.train()
     for step in range(steps):
@@ -105,17 +118,22 @@ def run_reference(network, steps):
         if step % 100 == 0:
             print(f"[{step}/{steps}] loss={loss.item():.3f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
+        # partial anchors: slow torch runs yield a usable parity point
+        # even if wall-clock runs out before `steps`
+        if step > 0 and step % 500 == 0:
+            nll = eval_heldout()
+            part = {"framework": "reference-torch", "network": network,
+                    "steps": step, "heldout_nll_nats": nll,
+                    "bits_per_dim": nll / (D * np.log(2.0)),
+                    "train_minutes": (time.time() - t0) / 60,
+                    "partial": True}
+            print("partial:", json.dumps(part), flush=True)
+            with open(os.path.join(
+                    REPO, f"PARITY_image_reference_{network}_partial.json"),
+                    "w") as f:
+                json.dump(part, f, indent=2)
 
-    net.eval()
-    nll = 0.0
-    with torch.no_grad():
-        for i in range(0, N_HELDOUT, 256):
-            yb = to_torch(heldout[i:i + 256])
-            z, logdet = net(yb)
-            nll += float(-(normal.log_prob(z).reshape(z.size(0), -1).sum(1)
-                           + logdet).sum())
-    nll /= N_HELDOUT
-    return nll, (time.time() - t0) / 60
+    return eval_heldout(), (time.time() - t0) / 60
 
 
 def run_nf_tpu(network, steps):

@@ -84,10 +84,17 @@ def bench_model(name, detail):
     entry = {}
 
     # ---- serving path: packed weights (+ fused Pallas stack where matched)
+    # repeated 3x: the headline needs a run-to-run spread, not a point
+    # estimate (round-2 runs swung ~20% between invocations)
     prog = model.eval_program(var)
-    t_fwd = timeit(lambda: prog.forward(y))
-    t_inv = timeit(lambda: prog.inverse(z))
-    entry["eval_program_fwd_inv_samples_per_s"] = EVAL_BATCH / (t_fwd + t_inv)
+    runs = []
+    for _ in range(3):
+        t_fwd = timeit(lambda: prog.forward(y))
+        t_inv = timeit(lambda: prog.inverse(z))
+        runs.append(EVAL_BATCH / (t_fwd + t_inv))
+    runs.sort()
+    entry["eval_program_fwd_inv_samples_per_s"] = runs[1]
+    entry["eval_program_fwd_inv_runs"] = runs
     entry["fused_stack"] = bool(model._fused_spec is not None
                                 and jax.devices()[0].platform == "tpu")
 
@@ -168,6 +175,16 @@ def main():
 
     only = sys.argv[1].split(",") if len(sys.argv) > 1 else list(ZOO)
 
+    here = os.path.dirname(os.path.abspath(__file__))
+    # partial runs (bench.py maf,flow++) must not clobber the other models'
+    # recorded entries
+    prior_models = {}
+    try:
+        with open(os.path.join(here, "BENCH_DETAIL.json")) as f:
+            prior_models = json.load(f).get("models", {})
+    except Exception:
+        pass
+
     detail = {
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
@@ -180,7 +197,7 @@ def main():
             "(re-derives packed weights per call, comparable to the torch "
             "module forward). Times are means over adaptive iteration "
             "counts after 5 warmup calls, block_until_ready-synced."),
-        "models": {},
+        "models": {n: e for n, e in prior_models.items() if n not in only},
     }
     for name in only:
         t0 = time.time()
@@ -192,16 +209,35 @@ def main():
               f"({time.time()-t0:.0f}s)", file=sys.stderr, flush=True)
 
     here = os.path.dirname(os.path.abspath(__file__))
+    baseline_path = os.path.join(here, "BENCH_BASELINE.json")
+    base = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)
+        # per-model torch anchors (scripts/measure_reference.py): record a
+        # like-for-like vs_baseline triplet for every model that has one
+        for name, entry in detail["models"].items():
+            ref = base.get("models", {}).get(name)
+            if not ref:
+                continue
+            entry["vs_baseline"] = {
+                "eval_program_fwd_inv":
+                    entry["eval_program_fwd_inv_samples_per_s"]
+                    / ref["fwd_inv_samples_per_s"],
+                "chain_jit_fwd_inv":
+                    entry["chain_jit_fwd_inv_samples_per_s"]
+                    / ref["fwd_inv_samples_per_s"],
+                "train": entry["train_samples_per_s"]
+                    / ref["train_samples_per_s"],
+            }
+
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=2)
 
     value = detail["models"]["realnvp"]["eval_program_fwd_inv_samples_per_s"] \
         if "realnvp" in detail["models"] else 0.0
     vs = None
-    baseline_path = os.path.join(here, "BENCH_BASELINE.json")
-    if os.path.exists(baseline_path):
-        with open(baseline_path) as f:
-            base = json.load(f)
+    if base is not None:
         vs = value / base["fwd_inv_samples_per_s"]
 
     print(json.dumps({

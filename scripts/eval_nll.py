@@ -1,7 +1,13 @@
 """Evaluate an nf_tpu checkpoint's held-out NLL on the shared parity set.
 
-Usage: python scripts/eval_nll.py <network> <ckpt.npz> [dataset]
+Usage: python scripts/eval_nll.py <network> <ckpt.npz> [dataset] [logdet]
 Companion to scripts/train_reference_nll.py (same held-out seed).
+
+``logdet`` (resflow only): override the eval-time log-det estimator.
+``exact`` is recommended for 2D parity rows — the stochastic ``unbias``
+eval estimator reports an unbiased but noisy NLL (and nf_tpu's eval rng
+is a fixed key, so the noise realization is shared across batches);
+the exact 2x2 slogdet measures the same quantity deterministically.
 """
 import json
 import os
@@ -31,6 +37,8 @@ def main():
 
     cfg = Config()
     cfg.network = NetworkConfig(name=network, **NETWORK_DEFAULTS[network])
+    if len(sys.argv) > 4:
+        cfg.network.logdet = sys.argv[4]
     model = build_model(network, dims, datatype="2d", cfg=cfg.network)
     tr = Trainer(model, cfg.optimizer, seed=0)
     ts = tr.init_state(jax.random.PRNGKey(0), ho[:1024])

@@ -28,10 +28,14 @@ by main.py):
     bits/dim = nll/(D ln2), discrete bits/dim = + log2(256).
 
 Usage:
-    python scripts/image_parity.py reference realnvp [steps]
-    python scripts/image_parity.py nf_tpu   glow     [steps]
+    python scripts/image_parity.py reference realnvp [steps] [mnist|cifar]
+    python scripts/image_parity.py nf_tpu   glow     [steps] [mnist|cifar]
 
-Writes PARITY_image_<framework>_<network>.json at the repo root.
+`mnist` (default) is the 16x16x1 row; `cifar` is the CIFAR-shaped
+32x32x3 row (tinted synthetic data -> genuinely decorrelated channels,
+exercising the channel-mixing 1x1 convs and 3-channel multi-scale path).
+
+Writes PARITY_image_<framework>_<network>[_cifar].json at the repo root.
 """
 import json
 import os
@@ -44,13 +48,15 @@ sys.path.insert(0, REPO)
 
 import numpy as np
 
-IMG = 16
 BATCH = 128
 LAYERS = 8
 STEPS_DEFAULT = 2000
 N_TRAIN = 10240
 N_HELDOUT = 2048
-D = IMG * IMG
+
+# set by main() from the dataset argument
+IMG, CHANNELS, D = 16, 1, 16 * 16
+DATASET = "mnist"
 
 
 MARGIN = 0.05
@@ -58,8 +64,11 @@ MARGIN = 0.05
 
 def build_data():
     from nf_tpu.data.images import synthetic_images
-    x = synthetic_images("mnist", N_TRAIN + N_HELDOUT, seed=777)
-    x = x[:, ::2, ::2, :]  # 32x32 -> 16x16 (values stay on the 8-bit grid)
+    if DATASET == "mnist":
+        x = synthetic_images("mnist", N_TRAIN + N_HELDOUT, seed=777)
+        x = x[:, ::2, ::2, :]  # 32x32 -> 16x16 (stays on the 8-bit grid)
+    else:  # cifar-shaped: native 32x32x3, per-image channel tint
+        x = synthetic_images("cifar10", N_TRAIN + N_HELDOUT, seed=777)
     x = np.round(x * 255.0) / 255.0
     rng = np.random.default_rng(4242)
     u = rng.random(x.shape, dtype=np.float32)
@@ -82,7 +91,7 @@ def run_reference(network, steps):
     idx = batch_indices(steps)
     torch.manual_seed(0)
     cls = {"realnvp": RealNVP, "glow": Glow}[network]
-    net = cls(dims=(1, IMG, IMG), datatype="image",
+    net = cls(dims=(CHANNELS, IMG, IMG), datatype="image",
               cfg=SimpleNamespace(layers=LAYERS))
     optim = torch.optim.Adam(net.parameters(), lr=1e-4)
     sched = torch.optim.lr_scheduler.StepLR(optim, step_size=10000, gamma=0.5)
@@ -104,9 +113,22 @@ def run_reference(network, steps):
         net.train()
         return acc / N_HELDOUT
 
+    # slow torch runs span build rounds: checkpoint at each partial anchor,
+    # resume exactly (batch order is the fixed idx array)
+    ckpt_path = os.path.join(
+        REPO, f"logs/reference_image_{network}{_tag()}.pt")
+    start_step = 0
+    if os.path.exists(ckpt_path):
+        state = torch.load(ckpt_path, weights_only=False)
+        net.load_state_dict(state["net"])
+        optim.load_state_dict(state["optim"])
+        sched.load_state_dict(state["sched"])
+        start_step = state["step"]
+        print(f"resumed image {network} at step {start_step}", flush=True)
+
     t0 = time.time()
     net.train()
-    for step in range(steps):
+    for step in range(start_step, steps):
         yb = to_torch(train[idx[step]])
         z, logdet = net(yb)
         loss = -(normal.log_prob(z).reshape(z.size(0), -1).sum(1)
@@ -128,10 +150,17 @@ def run_reference(network, steps):
                     "train_minutes": (time.time() - t0) / 60,
                     "partial": True}
             print("partial:", json.dumps(part), flush=True)
-            with open(os.path.join(
-                    REPO, f"PARITY_image_reference_{network}_partial.json"),
-                    "w") as f:
-                json.dump(part, f, indent=2)
+            pf = os.path.join(
+                REPO,
+                f"PARITY_image_reference_{network}{_tag()}_partial.json")
+            prev = json.load(open(pf)) if os.path.exists(pf) else {}
+            if part["steps"] >= prev.get("steps", 0):
+                with open(pf, "w") as f:
+                    json.dump(part, f, indent=2)
+            torch.save({"net": net.state_dict(),
+                        "optim": optim.state_dict(),
+                        "sched": sched.state_dict(), "step": step},
+                       ckpt_path)
 
     return eval_heldout(), (time.time() - t0) / 60
 
@@ -148,7 +177,7 @@ def run_nf_tpu(network, steps):
     cfg = Config()
     cfg.network = NetworkConfig(name=network, **NETWORK_DEFAULTS[network])
     cfg.network.layers = LAYERS
-    model = build_model(network, (IMG, IMG, 1), datatype="image",
+    model = build_model(network, (IMG, IMG, CHANNELS), datatype="image",
                         cfg=cfg.network)
     tr = Trainer(model, cfg.optimizer, seed=0)
     ts = tr.init_state(jax.random.PRNGKey(0), train[idx[0]])
@@ -168,15 +197,24 @@ def run_nf_tpu(network, steps):
         logp = np.asarray(tr.log_prob(ts, heldout[i:i + 256]))
         nll += float(-logp.sum())
     nll /= N_HELDOUT
-    save_checkpoint(os.path.join(REPO, f"logs/image_parity_{network}.npz"),
-                    ts, steps)
+    save_checkpoint(
+        os.path.join(REPO, f"logs/image_parity_{network}{_tag()}.npz"),
+        ts, steps)
     return nll, (time.time() - t0) / 60
 
 
+def _tag():
+    return "" if DATASET == "mnist" else f"_{DATASET}"
+
+
 def main():
+    global IMG, CHANNELS, D, DATASET
     framework = sys.argv[1]
     network = sys.argv[2]
     steps = int(sys.argv[3]) if len(sys.argv) > 3 else STEPS_DEFAULT
+    DATASET = sys.argv[4] if len(sys.argv) > 4 else "mnist"
+    IMG, CHANNELS = {"mnist": (16, 1), "cifar": (32, 3)}[DATASET]
+    D = IMG * IMG * CHANNELS
     run = {"reference": run_reference, "nf_tpu": run_nf_tpu}[framework]
     nll, minutes = run(network, steps)
     bpd = nll / (D * np.log(2.0))
@@ -187,6 +225,8 @@ def main():
                       else "nf_tpu"),
         "network": network,
         "dataset": (f"synthetic-mnist-{IMG}x{IMG}-dequantized-"
+                    f"rescaled{MARGIN}" if DATASET == "mnist" else
+                    f"synthetic-cifar-{IMG}x{IMG}x{CHANNELS}-dequantized-"
                     f"rescaled{MARGIN}"),
         "steps": steps, "batch": BATCH, "layers": LAYERS,
         "heldout_nll_nats": nll,
@@ -196,7 +236,8 @@ def main():
     }
     print(json.dumps(out))
     with open(os.path.join(
-            REPO, f"PARITY_image_{framework}_{network}.json"), "w") as f:
+            REPO,
+            f"PARITY_image_{framework}_{network}{_tag()}.json"), "w") as f:
         json.dump(out, f, indent=2)
 
 

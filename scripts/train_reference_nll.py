@@ -59,6 +59,21 @@ def main():
 
     fn, _, _ = TOY_SAMPLERS["normals"]
     rng = np.random.default_rng(0)
+
+    # torch-CPU runs take 4-16h on this box; checkpoint/resume lets a run
+    # span multiple build rounds.  The data stream is made resumable by
+    # re-drawing the consumed batches (cheap vs the train step itself).
+    ckpt_path = f"logs/reference_{network}_normals.pt"
+    start_step = 0
+    if os.path.exists(ckpt_path):
+        state = torch.load(ckpt_path, weights_only=False)
+        net.load_state_dict(state["net"])
+        optim.load_state_dict(state["optim"])
+        sched.load_state_dict(state["sched"])
+        start_step = state["step"]
+        for _ in range(start_step):
+            fn(1024, rng)
+        print(f"resumed {network} at step {start_step}", flush=True)
     t0 = time.time()
 
     def eval_heldout():
@@ -74,7 +89,7 @@ def main():
         return acc / HELDOUT_N
 
     net.train()
-    for step in range(1, steps + 1):
+    for step in range(start_step + 1, steps + 1):
         y = torch.from_numpy(fn(1024, rng))
         z, logdet = net(y)
         loss = -(normal.log_prob(z) + logdet).mean()
@@ -92,8 +107,17 @@ def main():
                     "train_minutes": (time.time() - t0) / 60,
                     "partial": True}
             print("partial:", json.dumps(part), flush=True)
-            with open(f"PARITY_reference_{network}_partial.json", "w") as f:
-                json.dump(part, f, indent=2)
+            # never regress the recorded anchor (a restarted run begins
+            # below a previous run's partial step count)
+            pf = f"PARITY_reference_{network}_partial.json"
+            prev = json.load(open(pf)) if os.path.exists(pf) else {}
+            if part["steps"] >= prev.get("steps", 0):
+                with open(pf, "w") as f:
+                    json.dump(part, f, indent=2)
+            torch.save({"net": net.state_dict(),
+                        "optim": optim.state_dict(),
+                        "sched": sched.state_dict(), "step": step},
+                       ckpt_path)
 
     nll = eval_heldout()
 

@@ -162,10 +162,17 @@ class EvalProgram:
             self._inv = lambda z: run_i(inv_packed, const_ld, z)
         else:
             var = jax.tree.map(jnp.asarray, var)
-            fwd = jax.jit(lambda x: model.bijector.forward(var, x, self._ctx))
-            inv = jax.jit(lambda z: model.bijector.inverse(var, z, self._ctx))
-            self._fwd = lambda x: fwd(x)[:2]
-            self._inv = lambda z: inv(z)[:2]
+            # slice to (y, logdet) INSIDE the jit: returning the state
+            # pytree too would materialize hundreds of per-layer state
+            # arrays as program outputs, and per-output dispatch/transfer
+            # cost dominates small models on a remote-attached TPU (maf-32
+            # was 3x slower than the chain path through exactly this)
+            fwd = jax.jit(
+                lambda x: model.bijector.forward(var, x, self._ctx)[:2])
+            inv = jax.jit(
+                lambda z: model.bijector.inverse(var, z, self._ctx)[:2])
+            self._fwd = fwd
+            self._inv = inv
 
     def forward(self, x):
         """data -> latent; returns (z, logdet)."""

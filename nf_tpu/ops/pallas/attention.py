@@ -95,6 +95,15 @@ def attention(q, k, v):
     jitted for a device other than the default (e.g. params still on the
     host CPU after a CPU-backend init on a remote-attached TPU).
     """
+    L = q.shape[-2]
+    if L == 1:
+        # single-token attention is the identity on the value: softmax of
+        # one score is 1, so out = V (here V carries Q under the
+        # reference's role permutation — callers pass (K, V, Q)).  The
+        # density (1D-dims) flow++ conditioner hits exactly this shape,
+        # and dispatching a (B*h, 1, D) grid to the fused kernel costs
+        # ~6 ms/layer in padded no-op blocks (measured round 3).
+        return v
     if not _HAS_PALLAS or os.environ.get("NF_TPU_NO_PALLAS") == "1":
         return attention_reference(q, k, v)
     return jax.lax.platform_dependent(q, k, v,

@@ -98,8 +98,14 @@ class VariationalDequant(Bijector):
         nb = float(self.n_bins)
         # quantize to bins (no-op for already-discrete 8-bit/256 data)
         xq = jnp.floor(jnp.clip(x, 0.0, 1.0 - 1e-6) * nb)
-        key = ctx.rng if ctx.rng is not None else jax.random.PRNGKey(0)
-        eps = jax.random.normal(key, x.shape, x.dtype)
+        if ctx.rng is None:
+            # a silent fixed key would make eval-time likelihoods reuse ONE
+            # dequantization sample forever — fail loudly instead; callers
+            # must thread an rng (Trainer does; eval paths pass eval keys)
+            raise ValueError(
+                "VariationalDequant.forward requires ctx.rng (a fresh "
+                "dequantization-noise key per call); got None")
+        eps = jax.random.normal(ctx.rng, x.shape, x.dtype)
         u, logq, state = self._flow(var, x, eps, ctx)
         y = (xq + u) / nb
         # ELBO correction rides the logdet accumulator

@@ -69,6 +69,7 @@ class Trainer:
         self._train_step = self._build_train_step()
         self._train_chunk = jax.jit(self._chunk_fn, donate_argnums=(0,))
         self._eval_logp = jax.jit(self._eval_logp_fn)
+        self._eval_logp_rng = jax.jit(self._eval_logp_rng_fn)
         self._sample = jax.jit(self._sample_fn, static_argnums=(2,))
         self._fwd = jax.jit(self._fwd_fn)
 
@@ -138,6 +139,11 @@ class Trainer:
         logp, _ = self.model.log_prob(var, batch, Ctx(rng=None, train=False))
         return logp
 
+    def _eval_logp_rng_fn(self, params, state, batch, key):
+        var = {"params": params, "state": state}
+        logp, _ = self.model.log_prob(var, batch, Ctx(rng=key, train=False))
+        return logp
+
     def _fwd_fn(self, params, state, batch):
         var = {"params": params, "state": state}
         z, logdet, _ = self.model.forward(var, batch, Ctx(rng=None, train=False))
@@ -170,7 +176,13 @@ class Trainer:
             batch = jax.device_put(batch, NamedSharding(self.mesh, P("data")))
         return batch
 
-    def log_prob(self, ts: TrainState, batch):
+    def log_prob(self, ts: TrainState, batch, rng=None):
+        """Eval-mode log p(batch).  ``rng`` is required for models with a
+        stochastic eval pass (variational dequantization draws a fresh
+        dequant-noise sample per call); deterministic models ignore it."""
+        if rng is not None:
+            return self._eval_logp_rng(ts.params, ts.state,
+                                       jnp.asarray(batch), rng)
         return self._eval_logp(ts.params, ts.state, jnp.asarray(batch))
 
     def forward(self, ts: TrainState, batch):

@@ -72,3 +72,34 @@ def test_flowpp_vardequant_trains(rng):
     y, logp = tr.sample(ts, jax.random.fold_in(rng, 3), 4)
     assert y.shape == (4,) + DIMS
     assert np.isfinite(np.asarray(logp)).all()
+
+
+def test_vardequant_requires_rng(rng):
+    """Eval without an rng must fail loudly, not silently reuse one fixed
+    dequantization sample (round-2 review finding)."""
+    vd = VariationalDequant(DIMS, base_filters=8)
+    var = vd.init(rng)
+    x = jnp.asarray(_images(jax.random.fold_in(rng, 1)))
+    with pytest.raises(ValueError, match="requires ctx.rng"):
+        vd.forward(var, x, Ctx(rng=None, train=False))
+
+
+@pytest.mark.slow
+def test_trainer_log_prob_threads_eval_rng(rng):
+    """Trainer.log_prob(rng=...) is the supported eval path for stochastic
+    (vardequant) models: fresh keys give different single-sample ELBOs,
+    the same key reproduces."""
+    cfg = Config()
+    cfg.network = NetworkConfig(name="flow++", layers=1, base_filters=8,
+                                mixtures=2, var_dequant=True)
+    model = build_model("flow++", DIMS, datatype="image", cfg=cfg.network)
+    tr = Trainer(model, cfg.optimizer, seed=0)
+    batch = _images(rng)
+    ts = tr.init_state(rng, batch)
+    k1, k2 = jax.random.split(jax.random.fold_in(rng, 7))
+    lp1 = np.asarray(tr.log_prob(ts, batch, rng=k1))
+    lp1b = np.asarray(tr.log_prob(ts, batch, rng=k1))
+    lp2 = np.asarray(tr.log_prob(ts, batch, rng=k2))
+    assert np.isfinite(lp1).all() and np.isfinite(lp2).all()
+    np.testing.assert_array_equal(lp1, lp1b)
+    assert np.abs(lp1 - lp2).max() > 0.0  # different noise -> different ELBO

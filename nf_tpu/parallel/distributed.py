@@ -29,18 +29,23 @@ def init_distributed(coordinator_address: Optional[str] = None,
     Safe to call on a single host: initialization is skipped when no
     coordinator is configured and auto-detection finds one process.
     """
-    already = jax.process_count() > 1
-    if already:
-        return
     explicit = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if explicit:
-        jax.distributed.initialize(
-            coordinator_address=explicit,
-            num_processes=num_processes
-            or int(os.environ.get("JAX_NUM_PROCESSES", "1")),
-            process_id=process_id
-            or int(os.environ.get("JAX_PROCESS_ID", "0")),
-        )
+    if not explicit:
+        return
+    # do NOT probe jax.process_count() here: it initializes the XLA
+    # backend, after which jax.distributed.initialize refuses to run —
+    # the launcher would always crash.  Check the distributed client
+    # directly instead (None until initialize has run).
+    from jax._src import distributed as _dist
+    if getattr(_dist.global_state, "client", None) is not None:
+        return  # process group already formed
+    jax.distributed.initialize(
+        coordinator_address=explicit,
+        num_processes=num_processes
+        or int(os.environ.get("JAX_NUM_PROCESSES", "1")),
+        process_id=process_id
+        or int(os.environ.get("JAX_PROCESS_ID", "0")),
+    )
 
 
 def host_key(base_key: jax.Array) -> jax.Array:

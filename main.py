@@ -52,9 +52,34 @@ def main(argv=None):
     except Exception:
         pass
 
-    run_dir = os.path.join(
-        "logs", f"{cfg.network.name}_{cfg.run.distrib}_"
-        + time.strftime("%Y-%m-%d_%H-%M-%S"))
+    # preemption recovery: run.resume=auto re-enters the latest matching
+    # run dir and picks up from its latest.npz (SURVEY.md §5.3)
+    run_dir = None
+    resume_ckpt = None
+    if cfg.run.resume:
+        if cfg.run.resume == "auto":
+            import glob
+            cands = glob.glob(os.path.join(
+                "logs", f"{cfg.network.name}_{cfg.run.distrib}_*",
+                "latest.npz"))
+            if cands:
+                resume_ckpt = max(cands, key=os.path.getmtime)
+                run_dir = os.path.dirname(resume_ckpt)
+            else:
+                logger.warning("run.resume=auto found no prior checkpoint; "
+                               "starting fresh")
+        else:
+            run_dir = cfg.run.resume
+            p = os.path.join(run_dir, "latest.npz")
+            if os.path.exists(p):
+                resume_ckpt = p
+            else:
+                raise FileNotFoundError(
+                    f"run.resume={run_dir!r} has no latest.npz")
+    if run_dir is None:
+        run_dir = os.path.join(
+            "logs", f"{cfg.network.name}_{cfg.run.distrib}_"
+            + time.strftime("%Y-%m-%d_%H-%M-%S"))
     os.makedirs(run_dir, exist_ok=True)
 
     dataset = FlowDataLoader(
@@ -82,9 +107,10 @@ def main(argv=None):
     ts = trainer.init_state(key, dataset.next_batch())
 
     start_step = 0
-    if cfg.run.ckpt_path is not None:
-        ts, start_step = load_checkpoint(cfg.run.ckpt_path, ts)
-        logger.info(f"resumed from {cfg.run.ckpt_path} at step {start_step}")
+    ckpt = cfg.run.ckpt_path or resume_ckpt
+    if ckpt is not None:
+        ts, start_step = load_checkpoint(ckpt, ts)
+        logger.info(f"resumed from {ckpt} at step {start_step}")
 
     writer = MetricWriter(run_dir)
     display = cfg.run.display
@@ -95,7 +121,7 @@ def main(argv=None):
     chunk = max(1, int(cfg.train.chunk))
     data_iter = iter(dataset)
     done = False
-    while not done:
+    while not done and step < cfg.train.steps:
         t0 = time.perf_counter()
         if chunk == 1:
             try:

@@ -115,6 +115,11 @@ class RunConfig:
     # force a JAX platform ('cpu' / 'tpu'); None = environment default.
     # (env JAX_PLATFORMS alone is overridden by the axon sitecustomize.)
     platform: Optional[str] = None
+    # preemption recovery (SURVEY.md §5.3): 'auto' resumes from the most
+    # recent logs/<network>_<distrib>_*/latest.npz and CONTINUES IN THAT
+    # RUN DIR; an explicit run-dir path resumes that run.  None starts
+    # fresh.  (ckpt_path remains the load-this-file escape hatch.)
+    resume: Optional[str] = None
 
 
 @dataclass

@@ -170,3 +170,23 @@ def test_checkpoint_structure_mismatch_raises(rng, tmp_path):
     ts4 = tr4.init_state(rng, np.zeros((16, 2), np.float32))
     with pytest.raises(ValueError, match="structure mismatch"):
         load_checkpoint(path, ts4)
+
+
+@pytest.mark.slow
+def test_preemption_auto_resume(tmp_path, monkeypatch):
+    """run.resume=auto must re-enter the latest matching run dir and
+    continue from its latest.npz to the requested total step count
+    (SURVEY.md §5.3 preemption recovery)."""
+    import main as train_main
+
+    monkeypatch.chdir(tmp_path)
+    common = ["network=realnvp", "network.layers=2", "network.base_filters=8",
+              "run.distrib=moons", "train.samples=64", "train.chunk=1",
+              "run.display=1", "run.seed=3"]
+    run_dir = train_main.main(common + ["train.steps=4"])
+    # "preemption": rerun the same command asking for more total steps
+    run_dir2 = train_main.main(common + ["train.steps=8", "run.resume=auto"])
+    assert run_dir2 == run_dir, "auto-resume must reuse the prior run dir"
+    import numpy as np_
+    ck = np_.load(str(tmp_path / run_dir / "latest.npz"), allow_pickle=True)
+    assert int(ck["__step__"]) == 8, int(ck["__step__"])

@@ -71,3 +71,77 @@ def test_tp_rule_actually_shards(rng):
         specs, is_leaf=lambda x: hasattr(x, "spec"))
         if "model" in str(s.spec)]
     assert sharded, "TP rule sharded nothing — parity test would be vacuous"
+
+
+# ---------------------------------------------------------------------------
+# The round-2 TP coverage was realnvp-MLP-only; these rows exercise the
+# param families most likely to carry a wrong PartitionSpec: conv
+# conditioners + PLU 1x1 (glow image), attention/LayerNorm/gated nets
+# (flow++), and spectral-norm state (resflow).
+
+def _build(name):
+    cfg = Config()
+    if name == "glow-image":
+        cfg.network = NetworkConfig(name="glow", layers=2, base_filters=32)
+        model = build_model("glow", (8, 8, 1), datatype="image",
+                            cfg=cfg.network)
+        dims = (8, 8, 1)
+    elif name == "flow++":
+        cfg.network = NetworkConfig(name="flow++", layers=2, mixtures=4,
+                                    base_filters=64)
+        model = build_model("flow++", (2,), datatype="2d", cfg=cfg.network)
+        dims = (2,)
+    else:  # resflow: spectral-norm u/v state rides in var["state"]
+        cfg.network = NetworkConfig(name="resflow", layers=2,
+                                    base_filters=64, logdet="exact",
+                                    spnorm_coeff=0.9)
+        model = build_model("resflow", (2,), datatype="2d", cfg=cfg.network)
+        dims = (2,)
+    return model, cfg, dims
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.parametrize("name", ["glow-image", "flow++", "resflow"])
+def test_tp_hard_families_match_single_device(rng, name):
+    model, cfg, dims = _build(name)
+    bshape = (32,) + dims
+    if dims == (2,):
+        batch = np.asarray(jax.random.normal(rng, bshape)) * 0.7
+    else:
+        batch = np.asarray(
+            jax.random.uniform(rng, bshape, minval=0.05, maxval=0.95))
+    ebatch = batch[:16]
+
+    def run(mesh):
+        tr = Trainer(model, cfg.optimizer, mesh=mesh, seed=0)
+        ts = tr.init_state(jax.random.PRNGKey(0), batch)
+        losses = []
+        for _ in range(2):
+            ts, loss = tr.train_step(ts, batch)
+            losses.append(float(loss))
+        logp = np.asarray(tr.log_prob(ts, ebatch))
+        return losses, logp
+
+    losses_tp, logp_tp = run(_mesh((4, 2)))
+    losses_1, logp_1 = run(None)
+
+    np.testing.assert_allclose(losses_tp, losses_1, rtol=0, atol=2e-4)
+    # per-sample logp accumulates f32 reduction-order noise over D dims
+    # (post-2-Adam-step param noise amplified through the stack): scale
+    # the tolerance with dimensionality (glow-image D=64 showed ~3e-3)
+    d = int(np.prod(dims))
+    np.testing.assert_allclose(logp_tp, logp_1, rtol=0, atol=2e-3 * max(1, d // 8))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.parametrize("name", ["glow-image", "flow++"])
+def test_tp_rule_shards_hard_families(name):
+    model, cfg, dims = _build(name)
+    var = model.init(jax.random.PRNGKey(0))
+    mesh = _mesh((4, 2))
+    specs = tp_shardings(var["params"], mesh)
+    sharded = [s for s in jax.tree_util.tree_leaves(
+        specs, is_leaf=lambda x: hasattr(x, "spec"))
+        if "model" in str(s.spec)]
+    assert sharded, f"TP rule sharded nothing for {name}"

@@ -67,8 +67,15 @@ def build_data():
     if DATASET == "mnist":
         x = synthetic_images("mnist", N_TRAIN + N_HELDOUT, seed=777)
         x = x[:, ::2, ::2, :]  # 32x32 -> 16x16 (stays on the 8-bit grid)
-    else:  # cifar-shaped: native 32x32x3, per-image channel tint
+    elif DATASET == "cifar":  # cifar-shaped: native 32x32x3, channel tint
         x = synthetic_images("cifar10", N_TRAIN + N_HELDOUT, seed=777)
+    else:  # cifar16: 3-channel multi-scale at a torch-CPU-feasible size
+        # (measured: the reference at 32x32x3 runs ~30 s/step on this box
+        # — 8+ hours per 1000 steps — so the cross-framework 3-channel
+        # anchor uses 16x16x3; nf_tpu's full 32x32x3 runs are produced
+        # separately by main.py)
+        x = synthetic_images("cifar10", N_TRAIN + N_HELDOUT, seed=777)
+        x = x[:, ::2, ::2, :]
     x = np.round(x * 255.0) / 255.0
     rng = np.random.default_rng(4242)
     u = rng.random(x.shape, dtype=np.float32)
@@ -213,7 +220,8 @@ def main():
     network = sys.argv[2]
     steps = int(sys.argv[3]) if len(sys.argv) > 3 else STEPS_DEFAULT
     DATASET = sys.argv[4] if len(sys.argv) > 4 else "mnist"
-    IMG, CHANNELS = {"mnist": (16, 1), "cifar": (32, 3)}[DATASET]
+    IMG, CHANNELS = {"mnist": (16, 1), "cifar": (32, 3),
+                     "cifar16": (16, 3)}[DATASET]
     D = IMG * IMG * CHANNELS
     run = {"reference": run_reference, "nf_tpu": run_nf_tpu}[framework]
     nll, minutes = run(network, steps)
@@ -226,7 +234,7 @@ def main():
         "network": network,
         "dataset": (f"synthetic-mnist-{IMG}x{IMG}-dequantized-"
                     f"rescaled{MARGIN}" if DATASET == "mnist" else
-                    f"synthetic-cifar-{IMG}x{IMG}x{CHANNELS}-dequantized-"
+                    f"synthetic-cifar10-{IMG}x{IMG}x{CHANNELS}-dequantized-"
                     f"rescaled{MARGIN}"),
         "steps": steps, "batch": BATCH, "layers": LAYERS,
         "heldout_nll_nats": nll,

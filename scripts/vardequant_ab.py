@@ -26,10 +26,13 @@ sys.path.insert(0, REPO)
 
 import numpy as np
 
-IMG, C = 16, 1
+# 8x8 with a 2-layer stack: the 16x16 4-layer flow++ image stack took
+# >25 min of XLA compile on this box's remote backend — the A/B question
+# (does the learned dequantizer beat uniform noise?) is scale-free
+IMG, C = 8, 1
 D = IMG * IMG * C
 BATCH = 128
-LAYERS = 4
+LAYERS = 2
 MIXTURES = 4
 N_TRAIN = 10240
 N_HELDOUT = 2048
@@ -39,7 +42,8 @@ N_NOISE = 8
 def build_data():
     from nf_tpu.data.images import synthetic_images
     x = synthetic_images("mnist", N_TRAIN + N_HELDOUT, seed=777)
-    x = x[:, ::2, ::2, :]
+    k = 32 // IMG
+    x = x[:, ::k, ::k, :]
     x = np.round(x * 255.0) / 255.0  # raw quantized pixels in [0,1]
     return x[:N_TRAIN], x[N_TRAIN:]
 

@@ -66,8 +66,8 @@ def main(argv=None):
                 resume_ckpt = max(cands, key=os.path.getmtime)
                 run_dir = os.path.dirname(resume_ckpt)
             else:
-                logger.warning("run.resume=auto found no prior checkpoint; "
-                               "starting fresh")
+                logger.warn("run.resume=auto found no prior checkpoint; "
+                            "starting fresh")
         else:
             run_dir = cfg.run.resume
             p = os.path.join(run_dir, "latest.npz")

@@ -183,7 +183,9 @@ def test_preemption_auto_resume(tmp_path, monkeypatch):
     common = ["network=realnvp", "network.layers=2", "network.base_filters=8",
               "run.distrib=moons", "train.samples=64", "train.chunk=1",
               "run.display=1", "run.seed=3"]
-    run_dir = train_main.main(common + ["train.steps=4"])
+    # resume=auto with no prior checkpoint must warn and start fresh
+    # (this path crashed in round 3 via a bad Logging method name)
+    run_dir = train_main.main(common + ["train.steps=4", "run.resume=auto"])
     # "preemption": rerun the same command asking for more total steps
     run_dir2 = train_main.main(common + ["train.steps=8", "run.resume=auto"])
     assert run_dir2 == run_dir, "auto-resume must reuse the prior run dir"

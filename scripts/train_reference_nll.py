@@ -63,10 +63,16 @@ def main():
     # torch-CPU runs take 4-16h on this box; checkpoint/resume lets a run
     # span multiple build rounds.  The data stream is made resumable by
     # re-drawing the consumed batches (cheap vs the train step itself).
-    ckpt_path = f"logs/reference_{network}_normals.pt"
+    # Checkpoints live in the COMMITTED anchors/ dir (logs/ is wiped when
+    # the box resets between rounds — which is how the round-2 ffjord
+    # anchor got stuck at 8k steps).
+    os.makedirs("anchors", exist_ok=True)
+    ckpt_path = f"anchors/reference_{network}_normals.pt"
+    legacy = f"logs/reference_{network}_normals.pt"
+    load_path = ckpt_path if os.path.exists(ckpt_path) else legacy
     start_step = 0
-    if os.path.exists(ckpt_path):
-        state = torch.load(ckpt_path, weights_only=False)
+    if os.path.exists(load_path):
+        state = torch.load(load_path, weights_only=False)
         net.load_state_dict(state["net"])
         optim.load_state_dict(state["optim"])
         sched.load_state_dict(state["sched"])

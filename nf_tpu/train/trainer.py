@@ -91,6 +91,17 @@ class Trainer:
         if self.mesh is not None:
             from ..parallel.sharding import shard_train_state
             ts = shard_train_state(ts, self.mesh)
+        else:
+            # COMMIT every leaf to its device.  Freshly created scalars
+            # (ts.step, optax counts) are uncommitted; after one train
+            # step the returned state's leaves are committed, which
+            # changes the jit signature and silently compiles the whole
+            # train step a SECOND time — ~25 extra minutes for the
+            # unrolled 16x16 flow++ stack (round-3's "compile-time
+            # pathology", see COMPILE_PROFILE.json / scripts/
+            # compile_profile.py).  An explicit device_put pins the
+            # signature from the first call.
+            ts = jax.device_put(ts, jax.local_devices()[0])
         return ts
 
     # ------------------------------------------------------------ step fns

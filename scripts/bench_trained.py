@@ -26,6 +26,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 import jax
+
+from nf_tpu.utils import enable_persistent_compile_cache
 import numpy as np
 
 EVAL_BATCH = 8192
@@ -97,6 +99,7 @@ def bench(network, ckpt):
 
 
 def main():
+    enable_persistent_compile_cache()
     out_path = os.path.join(REPO, "BENCH_TRAINED.json")
     out = json.load(open(out_path)) if os.path.exists(out_path) else {}
     out["eval_batch"] = EVAL_BATCH

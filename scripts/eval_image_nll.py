@@ -33,9 +33,11 @@ def main():
     draws = int(kv.get("draws", 4))
 
     import jax
+    from nf_tpu.utils import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
 
     from nf_tpu.config import Config, NetworkConfig, NETWORK_DEFAULTS
-    from nf_tpu.data.images import IMAGE_DATASETS, synthetic_images
+    from nf_tpu.data.images import IMAGE_DATASETS, load_images
     from nf_tpu.models import build_model
     from nf_tpu.train import Trainer, load_checkpoint
 
@@ -44,12 +46,34 @@ def main():
     # the full-scale run's memory-path flags (PARITY_RESULTS.md §full-scale)
     cfg.network.scan = kv.get("scan", "true") == "true"
     cfg.network.remat = kv.get("remat", "true") == "true"
+    cfg.network.layers = int(kv.get("layers", cfg.network.layers))
+    # beyond-parity variants: opt-in image models (maf/resflow/ffjord) and
+    # flow++'s variational dequantization
+    cfg.network.allow_image = kv.get("allow_image", "false") == "true"
+    vardequant = kv.get("vardequant", "false") == "true"
+    cfg.network.var_dequant = vardequant
 
     dims = IMAGE_DATASETS[dataset]
     model = build_model(network, dims, datatype="image", cfg=cfg.network)
     tr = Trainer(model, cfg.optimizer, seed=0)
 
-    x = synthetic_images(dataset, N_HELDOUT, HELDOUT_SEED)
+    # held-out draws below come from the synthetic generator; if the data
+    # dir holds real MNIST/CIFAR files the loader would have TRAINED on
+    # those, and scoring against synthetic draws would silently evaluate a
+    # different distribution — refuse rather than misreport
+    _, is_real = load_images(dataset, kv.get("data_root", "data"))
+    if is_real:
+        raise SystemExit(
+            f"real {dataset} files present under data/: the checkpoint was "
+            "trained on them, but this evaluator's held-out set is "
+            "synthetic. Evaluate with a held-out split of the real data "
+            "instead.")
+    # load_images (not synthetic_images) so the 16x16 subsampled variants
+    # resolve; a disjoint seed keeps the held-out pool off the training
+    # stream
+    x, _ = load_images(dataset, kv.get("data_root", "data"),
+                       seed=HELDOUT_SEED, synthetic_n=N_HELDOUT)
+    x = x[:N_HELDOUT]
     x8 = np.floor(x * 255.0 + 0.5) / 255.0  # snap to the 8-bit grid
 
     ts = tr.init_state(jax.random.PRNGKey(0), x8[:256])
@@ -60,15 +84,31 @@ def main():
     t0 = time.time()
     nll_draws = []
     for k in range(draws):
-        u = rng.random(x8.shape)
-        y = (x8 * 255.0 + u) / 256.0
         acc = 0.0
-        for i in range(0, N_HELDOUT, 256):
-            logp = np.asarray(tr.log_prob(ts, y[i:i + 256]))
-            acc += float(-logp.sum())
+        if vardequant:
+            # the head consumes RAW quantized pixels and its returned
+            # logdet already carries -log q(u|x) - D log 256, so
+            # -log_prob IS the discrete single-sample ELBO in nats
+            for i in range(0, N_HELDOUT, 256):
+                key = jax.random.fold_in(jax.random.PRNGKey(HELDOUT_SEED),
+                                         k * 100_000 + i)
+                logp = np.asarray(tr.log_prob(ts, x8[i:i + 256], rng=key))
+                acc += float(-logp.sum())
+        else:
+            u = rng.random(x8.shape)
+            y = (x8 * 255.0 + u) / 256.0
+            for i in range(0, N_HELDOUT, 256):
+                logp = np.asarray(tr.log_prob(ts, y[i:i + 256]))
+                acc += float(-logp.sum())
         nll_draws.append(acc / N_HELDOUT)
     nll = float(np.mean(nll_draws))
     bpd = nll / (d * np.log(2.0))
+    if vardequant:
+        # nll is already discrete (the -D log 256 lives inside the chain)
+        out_discrete = bpd
+        bpd = bpd - 8.0  # continuous-equivalent for the shared report keys
+    else:
+        out_discrete = bpd + 8.0
     out = {
         "ckpt": ckpt, "network": network, "dataset": dataset,
         "trained_steps": int(step), "n_heldout": N_HELDOUT,
@@ -76,7 +116,8 @@ def main():
         "heldout_nll_nats": nll,
         "heldout_nll_per_draw": nll_draws,
         "bits_per_dim_continuous": bpd,
-        "bits_per_dim_discrete": bpd + 8.0,
+        "bits_per_dim_discrete": out_discrete,
+        "vardequant": vardequant,
         "eval_minutes": (time.time() - t0) / 60,
     }
     print(json.dumps(out, indent=2))

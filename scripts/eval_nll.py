@@ -16,6 +16,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+from nf_tpu.utils import enable_persistent_compile_cache
 import numpy as np
 
 from nf_tpu.config import Config, NetworkConfig, NETWORK_DEFAULTS
@@ -28,6 +30,7 @@ HELDOUT_N = 16384
 
 
 def main():
+    enable_persistent_compile_cache()
     network = sys.argv[1]
     ckpt = sys.argv[2]
     dataset = sys.argv[3] if len(sys.argv) > 3 else "normals"
@@ -37,8 +40,12 @@ def main():
 
     cfg = Config()
     cfg.network = NetworkConfig(name=network, **NETWORK_DEFAULTS[network])
-    if len(sys.argv) > 4:
-        cfg.network.logdet = sys.argv[4]
+    resample = "resample" in sys.argv[4:]
+    extra = [a for a in sys.argv[4:] if a != "resample"]
+    if extra:
+        cfg.network.logdet = extra[0]
+    if resample:  # maf reference-behavior mode: per-call mask redraws
+        cfg.network.resample_masks = True
     model = build_model(network, dims, datatype="2d", cfg=cfg.network)
     tr = Trainer(model, cfg.optimizer, seed=0)
     ts = tr.init_state(jax.random.PRNGKey(0), ho[:1024])
@@ -46,14 +53,19 @@ def main():
 
     nll = 0.0
     for i in range(0, HELDOUT_N, 4096):
-        logp = np.asarray(tr.log_prob(ts, ho[i:i + 4096]))
+        key = (jax.random.fold_in(jax.random.PRNGKey(4242), i)
+               if resample else None)
+        logp = np.asarray(tr.log_prob(ts, ho[i:i + 4096], rng=key))
         nll += float(-logp.sum())
     nll /= HELDOUT_N
 
     out = {"framework": "nf_tpu", "network": network, "dataset": dataset,
            "steps": step, "heldout_nll_nats": nll}
+    if resample:
+        out["resample_masks"] = True
     print(json.dumps(out))
-    with open(f"PARITY_nf_tpu_{network}.json", "w") as f:
+    tag = f"{network}_resample" if resample else network
+    with open(f"PARITY_nf_tpu_{tag}.json", "w") as f:
         json.dump(out, f, indent=2)
 
 

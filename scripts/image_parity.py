@@ -174,6 +174,8 @@ def run_reference(network, steps):
 
 def run_nf_tpu(network, steps):
     import jax
+    from nf_tpu.utils import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
 
     from nf_tpu.config import Config, NetworkConfig, NETWORK_DEFAULTS
     from nf_tpu.models import build_model

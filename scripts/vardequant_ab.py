@@ -26,13 +26,16 @@ sys.path.insert(0, REPO)
 
 import numpy as np
 
-# 8x8 with a 2-layer stack: the 16x16 4-layer flow++ image stack took
-# >25 min of XLA compile on this box's remote backend — the A/B question
-# (does the learned dequantizer beat uniform noise?) is scale-free
-IMG, C = 8, 1
+# 16x16, 4-layer stack.  Round 3 ran 8x8/2-layer because this config
+# appeared to take ">25 min of XLA compile" — root-caused in round 4 to
+# (a) an uncommitted-scalar double-compile in Trainer.init_state (fixed,
+# see trainer.py) and (b) this script not enabling the persistent compile
+# cache (fixed below); the actual cold compile is ~35 s
+# (COMPILE_PROFILE.json) and warm loads are seconds.
+IMG, C = 16, 1
 D = IMG * IMG * C
 BATCH = 128
-LAYERS = 2
+LAYERS = 4
 MIXTURES = 4
 N_TRAIN = 10240
 N_HELDOUT = 2048
@@ -54,6 +57,9 @@ def run(var_dequant: bool, steps: int):
     from nf_tpu.config import Config, NetworkConfig
     from nf_tpu.models import build_model
     from nf_tpu.train import Trainer
+    from nf_tpu.utils import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
 
     train, heldout = build_data()
     idx = np.random.default_rng(31337).integers(0, N_TRAIN,
@@ -62,7 +68,8 @@ def run(var_dequant: bool, steps: int):
 
     cfg = Config()
     cfg.network = NetworkConfig(name="flow++", layers=LAYERS,
-                                mixtures=MIXTURES, var_dequant=var_dequant)
+                                mixtures=MIXTURES, var_dequant=var_dequant,
+                                scan=True, remat=True)
     model = build_model("flow++", (IMG, IMG, C), datatype="image",
                         cfg=cfg.network)
     tr = Trainer(model, cfg.optimizer, seed=0)

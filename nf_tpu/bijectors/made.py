@@ -140,10 +140,12 @@ class AutoregressiveTransform(Bijector):
     flows/maf.py:88.)"""
 
     def __init__(self, in_out_features: int, num_hidden: int = 3,
-                 base_filters: int = 32):
+                 base_filters: int = 32, resample_masks: bool = False):
         self.d = in_out_features
-        self.net_s = MADE(in_out_features, num_hidden, base_filters)
-        self.net_t = MADE(in_out_features, num_hidden, base_filters)
+        self.net_s = MADE(in_out_features, num_hidden, base_filters,
+                          resample_masks=resample_masks)
+        self.net_t = MADE(in_out_features, num_hidden, base_filters,
+                          resample_masks=resample_masks)
 
     def init(self, key):
         k1, k2, k3, k4, k5 = jax.random.split(key, 5)

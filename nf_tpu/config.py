@@ -44,6 +44,11 @@ class NetworkConfig:
     # dequant flow + ELBO objective) instead of the reference's fixed
     # Logit(0.01) transform
     var_dequant: bool = False
+    # MAF: redraw MADE masks from the per-step PRNG on every call,
+    # emulating the reference's per-forward np.random mask resampling
+    # (flows/maf.py:49-50); default False = fixed masks (the
+    # jit-friendly design choice, see bijectors/made.py)
+    resample_masks: bool = False
     # conditioner width (reference MLP/ConvNet base_filters=32)
     base_filters: int = 32
     # rematerialize per-layer activations in backward (HBM saver)

@@ -97,18 +97,36 @@ def synthetic_images(name: str, n: int, seed: int) -> np.ndarray:
     return out.astype(np.float32)
 
 
-IMAGE_DATASETS = {"mnist": MNIST_DIMS, "cifar10": CIFAR10_DIMS}
+IMAGE_DATASETS = {
+    "mnist": MNIST_DIMS,
+    "cifar10": CIFAR10_DIMS,
+    # 2x-subsampled variants (16x16): the budget tier for the iterative /
+    # ODE image models (resflow/ffjord conv stacks), same 8-bit grid
+    "mnist16": (16, 16, 1),
+    "cifar16": (16, 16, 3),
+}
 
 
 def load_images(name: str, data_root: str, seed: int = 0,
                 synthetic_n: int = 8192) -> tuple[np.ndarray, bool]:
     """Returns (images NHWC float32 in [0,1], is_real)."""
-    if name == "mnist":
+    if name not in IMAGE_DATASETS:
+        raise KeyError(name)
+    sub = name.endswith("16")
+    base = {"mnist": "mnist", "mnist16": "mnist",
+            "cifar10": "cifar10", "cifar16": "cifar10"}[name]
+    if base == "mnist":
         x = load_mnist(data_root)
-    elif name == "cifar10":
+    elif base == "cifar10":
         x = load_cifar10(data_root)
     else:
         raise KeyError(name)
-    if x is not None:
-        return x, True
-    return synthetic_images(name, synthetic_n, seed), False
+    if x is None:
+        x, is_real = synthetic_images(base, synthetic_n, seed), False
+    else:
+        is_real = True
+    if sub:
+        # pixel subsampling stays on the 8-bit grid (vs averaging, which
+        # would leave the grid and break the discrete bits/dim accounting)
+        x = np.ascontiguousarray(x[:, ::2, ::2, :])
+    return x, is_real

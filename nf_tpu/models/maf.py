@@ -44,8 +44,9 @@ def build_maf(dims, datatype=None, cfg=None) -> FlowModel:
     layers = []
     for _ in range(cfg.layers):
         layers.append(BatchNorm(dims[-1], affine=False))
-        layers.append(AutoregressiveTransform(dims[-1],
-                                              base_filters=cfg.base_filters))
+        layers.append(AutoregressiveTransform(
+            dims[-1], base_filters=cfg.base_filters,
+            resample_masks=getattr(cfg, "resample_masks", False)))
     if scan:
         return FlowModel("maf", scan_repeated(layers, 2, remat=remat), dims)
     return FlowModel("maf", Chain(layers, remat=remat), dims)

@@ -68,3 +68,21 @@ def test_loader_dequantize_contract():
     assert np.all(deq < lo + 1.0 / 256.0 + 1e-6)
     # dequantization is stochastic, not the identity
     assert not np.allclose(deq, lo)
+
+
+def test_subsampled_image_variants(tmp_path):
+    # mnist16/cifar16: 2x pixel subsample of the 32x32 sources, still on
+    # the 8-bit grid, resolvable through the loader end to end
+    from nf_tpu.data.images import load_images
+    for name, dims in (("mnist16", (16, 16, 1)), ("cifar16", (16, 16, 3))):
+        x, is_real = load_images(name, str(tmp_path), seed=1, synthetic_n=8)
+        assert x.shape == (8,) + dims and not is_real
+        np.testing.assert_allclose(np.round(x * 255.0) / 255.0, x, atol=1e-7)
+        dl = FlowDataLoader(name, batch_size=4, total_steps=1,
+                            data_root=str(tmp_path))
+        assert dl.dims == dims and dl.dtype == "image"
+        assert dl.next_batch().shape == (4,) + dims
+    # subsample of the same seed's 32x32 pool == the 16x16 pool rows
+    full, _ = load_images("mnist", str(tmp_path), seed=1, synthetic_n=8)
+    sub, _ = load_images("mnist16", str(tmp_path), seed=1, synthetic_n=8)
+    np.testing.assert_allclose(full[:, ::2, ::2, :], sub)

@@ -70,3 +70,41 @@ def test_image_model_bits_per_dim_sane(rng):
     bpd = -logp / (d * np.log(2.0))
     assert np.isfinite(bpd).all()
     assert np.abs(bpd).max() < 100.0
+
+
+@pytest.mark.parametrize("name", sorted(IMG_ZOO))
+def test_image_roundtrip_3channel(name, rng):
+    """3-channel multi-scale stacks (the cifar shape family): round trip +
+    logdet antisymmetry at (8, 8, 3)."""
+    dims3 = (8, 8, 3)
+    cfg = cfg_for(name)
+    model = build_model(name, dims3, datatype="image", cfg=cfg.network)
+    var = model.init(rng)
+    ctx = Ctx(train=False)
+    x = jax.random.uniform(jax.random.fold_in(rng, 1), (4,) + dims3,
+                           minval=0.05, maxval=0.95)
+    z, ld_f, _ = model.forward(var, x, ctx)
+    x2, ld_i, _ = model.inverse(var, z, ctx)
+    atol = 1e-3 if name == "flow++" else 1e-4
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=atol)
+    np.testing.assert_allclose(np.asarray(ld_f), -np.asarray(ld_i),
+                               rtol=1e-4, atol=1e-2)
+
+
+def test_flowpp_vardequant_3channel_train_step(rng):
+    """The queue's north-star config in miniature: flow++ 3-channel image
+    with variational dequantization, scan+remat — two train steps."""
+    cfg = cfg_for("flow++")
+    cfg.network.var_dequant = True
+    cfg.network.scan = True
+    cfg.network.remat = True
+    cfg.network.layers = 2
+    dims3 = (8, 8, 3)
+    model = build_model("flow++", dims3, datatype="image", cfg=cfg.network)
+    tr = Trainer(model, cfg.optimizer, seed=0)
+    x = np.asarray(jax.random.uniform(rng, (8,) + dims3))
+    x = np.round(x * 255.0) / 255.0
+    ts = tr.init_state(rng, x)
+    ts, loss1 = tr.train_step(ts, x)
+    ts, loss2 = tr.train_step(ts, x)
+    assert np.isfinite(float(loss1)) and np.isfinite(float(loss2))

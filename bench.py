@@ -49,6 +49,20 @@ ZOO = {
                    backprop="adjoint", trace="hutchinson"),
 }
 
+# image tier: the reference's multi-scale image stacks at their default
+# depth (configs/default.yaml layers=32 -> 161 couplings at 32x32), the
+# workloads where the MXU actually matters.  scan+remat is the production
+# memory/compile shape (the round-3 full-scale runs' flags).
+IMAGE_ZOO = {
+    "realnvp-img32x1": dict(network="realnvp", dims=(32, 32, 1),
+                            layers=32),
+    "glow-img32x1": dict(network="glow", dims=(32, 32, 1), layers=32),
+    "glow-img32x3": dict(network="glow", dims=(32, 32, 3), layers=32),
+}
+IMG_EVAL_BATCH = 1024
+IMG_TRAIN_BATCH = 1024   # the reference's train batch (default.yaml)
+IMG_TRAIN_CHUNK = 4
+
 
 def timeit(fn, *args, iters=ITERS):
     for _ in range(WARMUP):
@@ -165,6 +179,110 @@ def bench_model(name, detail):
     return entry
 
 
+def bench_image_model(name, detail):
+    from nf_tpu.config import Config, NetworkConfig
+    from nf_tpu.core import Ctx
+    from nf_tpu.models import build_model
+    from nf_tpu.train import Trainer
+    from nf_tpu.utils.profiling import roofline_estimate
+
+    spec = IMAGE_ZOO[name]
+    dims = spec["dims"]
+    cfg = Config()
+    cfg.network = NetworkConfig(name=spec["network"], layers=spec["layers"],
+                                scan=True, remat=True)
+    model = build_model(spec["network"], dims, datatype="image",
+                        cfg=cfg.network)
+
+    key = jax.random.PRNGKey(0)
+    # synthetic pixels away from the Logit edges; throughput does not
+    # depend on image content
+    y = jax.random.uniform(jax.random.fold_in(key, 1),
+                           (IMG_EVAL_BATCH,) + dims,
+                           minval=0.05, maxval=0.95)
+    z = jax.random.normal(jax.random.fold_in(key, 2),
+                          (IMG_EVAL_BATCH,) + dims) * 0.5
+    entry = {"dims": list(dims), "layers": spec["layers"],
+             "eval_batch": IMG_EVAL_BATCH, "train_batch": IMG_TRAIN_BATCH}
+
+    tr = Trainer(model, cfg.optimizer, seed=0)
+    batch0 = np.asarray(jax.random.uniform(
+        jax.random.fold_in(key, 3), (IMG_TRAIN_BATCH,) + dims,
+        minval=0.05, maxval=0.95))
+    ts = tr.init_state(key, batch0)
+
+    # ---- eval fwd+inv (jitted chain over fixed params — image stacks do
+    # not match the 1D fused-stack pattern; EvalProgram falls back to it)
+    prog = model.eval_program(ts.var)
+    runs = []
+    for _ in range(3):
+        t_fwd = timeit(lambda: prog.forward(y), iters=20)
+        t_inv = timeit(lambda: prog.inverse(z), iters=20)
+        runs.append(IMG_EVAL_BATCH / (t_fwd + t_inv))
+    runs.sort()
+    entry["eval_program_fwd_inv_samples_per_s"] = runs[1]
+    entry["eval_program_fwd_inv_runs"] = runs
+    entry["fused_stack"] = False
+
+    # round-trip consistency on the measured program (throughput numbers
+    # should come from a program that actually inverts)
+    zf, ldf = prog.forward(y)
+    yr, ldi = prog.inverse(zf)
+    entry["fwd_inv_roundtrip_max_abs_err"] = float(jnp.max(jnp.abs(yr - y)))
+    entry["fwd_inv_logdet_max_abs_err"] = float(jnp.max(jnp.abs(ldf + ldi)))
+
+    # ---- train-step throughput (scan+remat, reference batch)
+    chunk = np.asarray(jax.random.uniform(
+        jax.random.fold_in(key, 4),
+        (IMG_TRAIN_CHUNK, IMG_TRAIN_BATCH) + dims,
+        minval=0.05, maxval=0.95))
+
+    def run_chunk():
+        nonlocal ts
+        ts, losses = tr.train_steps(ts, chunk)
+        return losses
+
+    t_chunk = timeit(run_chunk, iters=10)
+    entry["train_samples_per_s"] = IMG_TRAIN_CHUNK * IMG_TRAIN_BATCH / t_chunk
+    entry["train_s_per_step"] = t_chunk / IMG_TRAIN_CHUNK
+
+    # ---- roofline (XLA cost analysis; fwd+inv and the train step)
+    ctx = Ctx(rng=None, train=False)
+    var = ts.var
+    try:
+        rl_f = roofline_estimate(lambda v, x: model.forward(v, x, ctx)[:2],
+                                 var, y, measured_seconds=None)
+        rl_i = roofline_estimate(lambda v, x: model.inverse(v, x, ctx)[:2],
+                                 var, z, measured_seconds=None)
+        t_pair = IMG_EVAL_BATCH / entry["eval_program_fwd_inv_samples_per_s"]
+        flops = rl_f["flops"] + rl_i["flops"]
+        bytes_ = rl_f["bytes_accessed"] + rl_i["bytes_accessed"]
+        peak = 197e12 / 2  # f32-on-v5e context used zoo-wide
+        entry["roofline"] = {
+            "flops_fwd_inv": flops,
+            "flops_per_sample": flops / IMG_EVAL_BATCH,
+            "bytes_accessed": bytes_,
+            "arithmetic_intensity": flops / max(bytes_, 1.0),
+            "ridge_intensity": rl_f["ridge_intensity"],
+            "eval_achieved_tflops": flops / t_pair / 1e12,
+            "eval_pct_of_peak_flops": 100.0 * flops / t_pair / peak,
+        }
+        rl_t = roofline_estimate(
+            lambda s, b, k: tr._step_fn(s, b, k)[1],
+            ts, jnp.asarray(chunk[0]), jax.random.PRNGKey(1),
+            measured_seconds=entry["train_s_per_step"])
+        entry["roofline"]["train_flops_per_step"] = rl_t["flops"]
+        entry["roofline"]["train_achieved_tflops"] = (
+            rl_t.get("achieved_flops_per_s", 0.0) / 1e12)
+        entry["roofline"]["train_pct_of_peak_flops"] = (
+            rl_t.get("pct_of_peak_flops", 0.0))
+    except Exception as e:
+        entry["roofline_error"] = repr(e)
+
+    detail["models"][name] = entry
+    return entry
+
+
 def main():
     try:
         jax.config.update("jax_compilation_cache_dir",
@@ -173,7 +291,8 @@ def main():
     except Exception:
         pass
 
-    only = sys.argv[1].split(",") if len(sys.argv) > 1 else list(ZOO)
+    only = (sys.argv[1].split(",") if len(sys.argv) > 1
+            else list(ZOO) + list(IMAGE_ZOO))
 
     here = os.path.dirname(os.path.abspath(__file__))
     # partial runs (bench.py maf,flow++) must not clobber the other models'
@@ -201,6 +320,14 @@ def main():
     }
     for name in only:
         t0 = time.time()
+        if name in IMAGE_ZOO:
+            entry = bench_image_model(name, detail)
+            print(f"# {name}: fwd+inv "
+                  f"{entry['eval_program_fwd_inv_samples_per_s']:.0f}/s, "
+                  f"train {entry['train_samples_per_s']:.0f}/s "
+                  f"({entry['train_s_per_step']*1e3:.0f} ms/step) "
+                  f"({time.time()-t0:.0f}s)", file=sys.stderr, flush=True)
+            continue
         entry = bench_model(name, detail)
         print(f"# {name}: eval_program "
               f"{entry['eval_program_fwd_inv_samples_per_s']:.0f}/s, chain "
@@ -224,12 +351,13 @@ def main():
                 "eval_program_fwd_inv":
                     entry["eval_program_fwd_inv_samples_per_s"]
                     / ref["fwd_inv_samples_per_s"],
-                "chain_jit_fwd_inv":
-                    entry["chain_jit_fwd_inv_samples_per_s"]
-                    / ref["fwd_inv_samples_per_s"],
                 "train": entry["train_samples_per_s"]
                     / ref["train_samples_per_s"],
             }
+            if "chain_jit_fwd_inv_samples_per_s" in entry:
+                entry["vs_baseline"]["chain_jit_fwd_inv"] = (
+                    entry["chain_jit_fwd_inv_samples_per_s"]
+                    / ref["fwd_inv_samples_per_s"])
 
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=2)

@@ -59,6 +59,70 @@ def timeit(fn, warmup=2, budget_s=30.0, max_iters=20):
     return (time.perf_counter() - t0) / n
 
 
+# image-tier anchors: the reference's multi-scale image stacks at default
+# depth (configs/default.yaml layers=32 -> 161 couplings at 32x32), dims
+# channels-first per the reference convention.  torch-CPU cannot sustain
+# the TPU-side batch 1024 at tractable step times; the anchor batch is
+# recorded in the entry and throughput is reported as samples/s.
+IMAGE_ZOO = {
+    "realnvp-img32x1": dict(network="realnvp", dims=(1, 32, 32), layers=32),
+    "glow-img32x1": dict(network="glow", dims=(1, 32, 32), layers=32),
+    "glow-img32x3": dict(network="glow", dims=(3, 32, 32), layers=32),
+}
+IMG_EVAL_BATCH = 64
+IMG_TRAIN_BATCH = 64
+
+
+def bench_image_model(name):
+    import flows
+
+    spec = IMAGE_ZOO[name]
+    networks = {"realnvp": flows.RealNVP, "glow": flows.Glow}
+    torch.manual_seed(0)
+    cfg = SimpleNamespace(layers=spec["layers"])
+    net = networks[spec["network"]](dims=spec["dims"], datatype="image",
+                                    cfg=cfg)
+    dims = spec["dims"]
+    net.eval()
+    y = torch.rand(IMG_EVAL_BATCH, *dims) * 0.9 + 0.05
+    z = torch.randn(IMG_EVAL_BATCH, *dims) * 0.5
+
+    with torch.no_grad():
+        t_fwd = timeit(lambda: net(y), warmup=1, budget_s=60.0, max_iters=10)
+        t_inv = timeit(lambda: net.backward(z), warmup=1, budget_s=60.0,
+                       max_iters=10)
+
+    net.train()
+    optim = torch.optim.Adam(net.parameters(), lr=1e-4)
+    d = int(np.prod(dims))
+    yt = torch.rand(IMG_TRAIN_BATCH, *dims) * 0.9 + 0.05
+
+    def train_step():
+        zz, logdet = net(yt)
+        z2 = zz.reshape(zz.size(0), -1)
+        logpz = -0.5 * (z2 ** 2).sum(dim=1) - 0.5 * d * np.log(2 * np.pi)
+        loss = -(logpz + logdet).mean()
+        optim.zero_grad()
+        loss.backward()
+        optim.step()
+
+    t_train = timeit(train_step, warmup=1, budget_s=90.0, max_iters=5)
+
+    return {
+        "dims": list(dims),
+        "layers": spec["layers"],
+        "eval_batch": IMG_EVAL_BATCH,
+        "train_batch": IMG_TRAIN_BATCH,
+        "fwd_s_per_batch": t_fwd,
+        "inv_s_per_batch": t_inv,
+        "train_s_per_step": t_train,
+        "fwd_samples_per_s": IMG_EVAL_BATCH / t_fwd,
+        "inv_samples_per_s": IMG_EVAL_BATCH / t_inv,
+        "fwd_inv_samples_per_s": IMG_EVAL_BATCH / (t_fwd + t_inv),
+        "train_samples_per_s": IMG_TRAIN_BATCH / t_train,
+    }
+
+
 def bench_model(name):
     import flows
 
@@ -131,7 +195,8 @@ def main():
 
     for name in only:
         t0 = time.time()
-        entry = bench_model(name)
+        entry = (bench_image_model(name) if name in IMAGE_ZOO
+                 else bench_model(name))
         out["models"][name] = entry
         print(f"# {name}: fwd+inv {entry['fwd_inv_samples_per_s']:.0f}/s, "
               f"train {entry['train_samples_per_s']:.0f}/s "

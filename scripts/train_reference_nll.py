@@ -72,7 +72,10 @@ def main():
     load_path = ckpt_path if os.path.exists(ckpt_path) else legacy
     start_step = 0
     if os.path.exists(load_path):
-        state = torch.load(load_path, weights_only=False)
+        # weights_only: the payload is plain state_dicts + an int step;
+        # full-pickle load of a committed file would be an arbitrary-code
+        # hazard on untrusted checkouts
+        state = torch.load(load_path, weights_only=True)
         net.load_state_dict(state["net"])
         optim.load_state_dict(state["optim"])
         sched.load_state_dict(state["sched"])

@@ -70,8 +70,11 @@ class FlowModel:
         if not hasattr(self, "_fused_spec_cache"):
             spec = None
             if isinstance(self.bijector, Chain):
+                from ..ops.pallas.fused_flowpp import extract_flowpp_spec
                 from ..ops.pallas.fused_stack import extract_stack_spec
                 spec = extract_stack_spec(self.bijector, self.dims)
+                if spec is None:
+                    spec = extract_flowpp_spec(self.bijector, self.dims)
             self._fused_spec_cache = spec
         return self._fused_spec_cache
 
@@ -127,8 +130,24 @@ class EvalProgram:
         self._ctx = Ctx(rng=None, train=False)
 
         if spec is not None and on_tpu:
-            from ..ops.pallas.fused_stack import (_call, _make_kernels,
-                                                  pack_stack)
+            if getattr(spec, "kind", "affine") == "flowpp":
+                from ..ops.pallas.fused_flowpp import (
+                    call_flowpp as _call, _make_kernels_flowpp as
+                    _make_kernels, make_inv_packed, pack_flowpp as
+                    pack_stack)
+            else:
+                from ..ops.pallas.fused_stack import (_call, _make_kernels,
+                                                      pack_stack)
+
+                def make_inv_packed(packed, spec=spec):
+                    out = []
+                    for p in packed:
+                        q = dict(p)
+                        q["pre"] = p["prei"]
+                        if spec.has_mix:
+                            q["mix"] = p["mixi"]
+                        out.append(q)
+                    return out
             packed, const_ld = jax.jit(
                 lambda v: pack_stack(model.bijector, spec, v))(var)
             # settle standard layouts so the kernel jit does not bake
@@ -138,13 +157,7 @@ class EvalProgram:
             import numpy as _np
             packed = jax.tree.map(
                 lambda a: jax.device_put(_np.asarray(a)), packed)
-            inv_packed = []
-            for p in packed:
-                q = dict(p)
-                q["pre"] = p["prei"]
-                if spec.has_mix:
-                    q["mix"] = p["mixi"]
-                inv_packed.append(q)
+            inv_packed = make_inv_packed(packed, spec)
             fwd_k, inv_k = _make_kernels(spec)
 
             # the constant-logdet add must live INSIDE the jit: a per-call

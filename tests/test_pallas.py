@@ -210,3 +210,62 @@ def test_eval_program_cpu_fallback_matches_model(rng):
                                atol=1e-5, rtol=1e-5)
     ys, lpy = prog.sample(jax.random.fold_in(rng, 2), 16)
     assert ys.shape == (16, 2) and np.isfinite(np.asarray(lpy)).all()
+
+
+def test_fused_flowpp_matches_chain(rng):
+    """Fused flow++ density stack (interpret mode) vs the Chain path:
+    forward, inverse (in-kernel Newton), and logdets."""
+    from nf_tpu.config import Config, NetworkConfig
+    from nf_tpu.core import Ctx
+    from nf_tpu.models import build_model
+    from nf_tpu.ops.pallas.fused_flowpp import (extract_flowpp_spec,
+                                                fused_flowpp_forward,
+                                                fused_flowpp_inverse)
+
+    cfg = Config()
+    cfg.network = NetworkConfig(name="flow++", layers=4, mixtures=4)
+    model = build_model("flow++", (2,), datatype="2d", cfg=cfg.network)
+    var = model.init(rng)
+    x = jax.random.normal(jax.random.fold_in(rng, 1), (64, 2))
+    var = model.data_dependent_init(var, x)
+
+    spec = extract_flowpp_spec(model.bijector, model.dims)
+    assert spec is not None and spec.kind == "flowpp"
+    ctx = Ctx(rng=None, train=False)
+    z_ref, ld_ref, _ = model.bijector.forward(var, x, ctx)
+    z_f, ld_f = fused_flowpp_forward(model.bijector, spec, var, x,
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(z_f), np.asarray(z_ref),
+                               atol=3e-5)
+    np.testing.assert_allclose(np.asarray(ld_f), np.asarray(ld_ref),
+                               atol=3e-5, rtol=1e-5)
+
+    y_ref, ldi_ref, _ = model.bijector.inverse(var, z_ref, ctx)
+    y_f, ldi_f = fused_flowpp_inverse(model.bijector, spec, var, z_ref,
+                                      interpret=True)
+    # the in-kernel Newton and the Chain's solver converge independently to
+    # the same root within XTOL
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_ref),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(ldi_f), np.asarray(ldi_ref),
+                               atol=5e-3, rtol=1e-4)
+    # and the fused inverse actually inverts the fused forward
+    y_rt, _ = fused_flowpp_inverse(model.bijector, spec, var, z_f,
+                                   interpret=True)
+    np.testing.assert_allclose(np.asarray(y_rt), np.asarray(x), atol=5e-4)
+
+
+def test_fused_flowpp_spec_rejects_nonmatching(rng):
+    from nf_tpu.config import Config, NetworkConfig
+    from nf_tpu.models import build_model
+    from nf_tpu.ops.pallas.fused_flowpp import extract_flowpp_spec
+
+    # wrong dimensionality (3D density unsupported: out_chs != 1)
+    cfg = Config()
+    cfg.network = NetworkConfig(name="flow++", layers=4, mixtures=4)
+    m3 = build_model("flow++", (3,), datatype="2d", cfg=cfg.network)
+    assert extract_flowpp_spec(m3.bijector, m3.dims) is None
+    # realnvp stack is not a flow++ stack
+    cfg.network = NetworkConfig(name="realnvp", layers=4)
+    mr = build_model("realnvp", (2,), datatype="2d", cfg=cfg.network)
+    assert extract_flowpp_spec(mr.bijector, mr.dims) is None

@@ -122,10 +122,17 @@ def bench_model(name, detail):
     entry["chain_jit_fwd_inv_samples_per_s"] = EVAL_BATCH / (tc_f + tc_i)
 
     # ---- on-device fused-vs-chain parity (serving path must match the
-    # validated Chain math on the real chip, not just in interpret mode)
+    # validated Chain math on the real chip, not just in interpret mode).
+    # For deep nonlinear stacks (flow++) the two paths carry equally-valid
+    # but different f32 rounding realizations that the stack amplifies —
+    # arbitrated against the CPU-f32 chain in round 4, both are
+    # equidistant (median ~0.011) — so the median is the meaningful
+    # parity figure and the max reflects tail amplification, not error.
     zf, ldf = prog.forward(y)
     zc, ldc = cf(var, y)
-    entry["fused_vs_chain_fwd_max_abs_err"] = float(jnp.max(jnp.abs(zf - zc)))
+    dz = np.abs(np.asarray(zf) - np.asarray(zc))
+    entry["fused_vs_chain_fwd_max_abs_err"] = float(dz.max())
+    entry["fused_vs_chain_fwd_median_abs_err"] = float(np.median(dz))
     entry["fused_vs_chain_logdet_max_abs_err"] = float(
         jnp.max(jnp.abs(ldf - ldc)))
 
@@ -225,10 +232,19 @@ def bench_image_model(name, detail):
     entry["fused_stack"] = False
 
     # round-trip consistency on the measured program (throughput numbers
-    # should come from a program that actually inverts)
+    # should come from a program that actually inverts).  NOTE: at RANDOM
+    # init the 161-coupling stack amplifies per-layer bf16-conv rounding
+    # ~4 orders of magnitude beyond CPU (z spans +-25); at a TRAINED
+    # checkpoint (z ~ N(0,1)) the same program round-trips to ~1e-5
+    # median / ~1e-2 max in pixel units (measured, round 4) — quantiles
+    # recorded so both regimes are visible
     zf, ldf = prog.forward(y)
     yr, ldi = prog.inverse(zf)
-    entry["fwd_inv_roundtrip_max_abs_err"] = float(jnp.max(jnp.abs(yr - y)))
+    err = np.abs(np.asarray(yr) - np.asarray(y))
+    entry["fwd_inv_roundtrip_abs_err"] = {
+        "median": float(np.median(err)),
+        "p99": float(np.quantile(err, 0.99)),
+        "max": float(err.max())}
     entry["fwd_inv_logdet_max_abs_err"] = float(jnp.max(jnp.abs(ldf + ldi)))
 
     # ---- train-step throughput (scan+remat, reference batch)

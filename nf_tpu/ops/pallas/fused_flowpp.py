@@ -182,6 +182,12 @@ def pack_flowpp(chain, spec: FlowppSpec, var):
 # --------------------------------------------------------------------------
 # kernel
 # --------------------------------------------------------------------------
+def _elu(x):
+    # jax.nn.elu lowers to expm1, which Mosaic does not implement; the
+    # exp-1 form differs only below f32 noise on these activation scales
+    return jnp.where(x > 0, x, jnp.exp(jnp.minimum(x, 0.0)) - 1.0)
+
+
 def _layernorm_rows(h, g, bcol):
     mu = jnp.mean(h, axis=0, keepdims=True)
     var = jnp.mean((h - mu) ** 2, axis=0, keepdims=True)
@@ -198,9 +204,9 @@ def _conditioner_t(z1, j, W0, W1, Wq, Wo, Wh, BH, BO, VEC):
 
     h = W0[j] * z1 + vec(0)                # outer-product in-proj (F, bb)
     # GatedLinear: u = W1 @ [elu(h); elu(-h)] + b1; h += elu(u)*sig(elu(-u))
-    e = jnp.concatenate([jax.nn.elu(h), jax.nn.elu(-h)], axis=0)
+    e = jnp.concatenate([_elu(h), _elu(-h)], axis=0)
     u = jnp.dot(W1[j], e, preferred_element_type=f32) + vec(1)
-    h = h + jax.nn.elu(u) * jax.nn.sigmoid(jax.nn.elu(-u))
+    h = h + _elu(u) * jax.nn.sigmoid(_elu(-u))
     h = _layernorm_rows(h, vec(2), vec(3))
     # GatedAttn at L=1: A == Q-projection of (h + pos) (identity attention);
     # y = Wout @ A + bout; h += y[:F] * sigmoid(y[F:])
@@ -226,8 +232,8 @@ def _mix_parts(x, logpi, mu, s):
     return u, v, logpdf
 
 
-def _head_params(raw, K, gb):
-    a = jnp.tanh(raw[0:1, :]) * gb[0] + gb[1]
+def _head_params(raw, K, g_scale, g_bias):
+    a = jnp.tanh(raw[0:1, :]) * g_scale + g_bias
     b_ = raw[1:2, :]
     logpi = raw[2:2 + K, :]
     m_ = jnp.max(logpi, axis=0, keepdims=True)
@@ -257,7 +263,7 @@ def _make_kernels_flowpp(spec: FlowppSpec):
         x = (x - pre[:, 0:1]) * pre[:, 1:2]
         z0, z1 = split(x, odd)
         raw = _conditioner_t(z1, j, W0, W1, Wq, Wo, Wh, BH, BO, VEC)
-        a, b_, logpi, mu, s = _head_params(raw, K, GB[j])
+        a, b_, logpi, mu, s = _head_params(raw, K, GB[j, 0], GB[j, 1])
         u, v, logpdf = _mix_parts(z0, logpi, mu, s)
         z0 = (u - v) * jnp.exp(a) + b_
         ld = ld + (logpdf - u - v) + a
@@ -267,7 +273,7 @@ def _make_kernels_flowpp(spec: FlowppSpec):
         PREI, W0, W1, Wq, Wo, Wh, BH, BO, VEC, GB = refs
         y0, y1 = split(y, odd)
         raw = _conditioner_t(y1, j, W0, W1, Wq, Wo, Wh, BH, BO, VEC)
-        a, b_, logpi, mu, s = _head_params(raw, K, GB[j])
+        a, b_, logpi, mu, s = _head_params(raw, K, GB[j, 0], GB[j, 1])
         t = (y0 - b_) * jnp.exp(-a)
         ld = ld - a
 

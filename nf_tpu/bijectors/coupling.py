@@ -82,21 +82,25 @@ class _CouplingBase(Bijector):
         return self._merge(y0, y1), ld, state
 
 
-def _make_conditioner(dims, masking, odd, out_mult, half_dims, base_filters=32):
+def _make_conditioner(dims, masking, odd, out_mult, half_dims, base_filters=32,
+                      compute_dtype=None):
     """Conditioner net mapping z1 -> out_mult * size(z0) channels."""
     out_chs, in_chs = half_dims[0], half_dims[1]
     if len(dims) == 1:
-        return MLP(in_chs, out_chs * out_mult, base_filters=base_filters), out_chs
-    return ConvNet(in_chs, out_chs * out_mult, base_filters=base_filters), out_chs
+        return MLP(in_chs, out_chs * out_mult, base_filters=base_filters,
+                   compute_dtype=compute_dtype), out_chs
+    return ConvNet(in_chs, out_chs * out_mult, base_filters=base_filters,
+                   compute_dtype=compute_dtype), out_chs
 
 
 class AdditiveCoupling(_CouplingBase):
     """z0' = z0 + t(z1); volume preserving (NICE)."""
 
-    def __init__(self, dims, masking="checkerboard", odd=False, base_filters=32):
+    def __init__(self, dims, masking="checkerboard", odd=False, base_filters=32,
+                 compute_dtype=None):
         super().__init__(dims, masking, odd)
         self.net, self.out_chs = _make_conditioner(
-            dims, masking, odd, 1, self.half_dims(), base_filters)
+            dims, masking, odd, 1, self.half_dims(), base_filters, compute_dtype)
 
     def init(self, key):
         v = self.net.init(key)
@@ -105,7 +109,9 @@ class AdditiveCoupling(_CouplingBase):
     def _apply_net(self, var, z1, ctx):
         sub = {"params": var["params"]["net"], "state": var["state"]["net"]}
         t, net_state = self.net.apply(sub, z1, ctx.child(0))
-        return t, {"net": net_state}
+        # flow math (shift/scale/logdet) is always f32, whatever the
+        # conditioner's compute dtype
+        return t.astype(jnp.float32), {"net": net_state}
 
     def _transform(self, var, z0, z1, ctx):
         t, state = self._apply_net(var, z1, ctx)
@@ -121,10 +127,11 @@ class AdditiveCoupling(_CouplingBase):
 class AffineCoupling(_CouplingBase):
     """z0' = z0 * exp(s) + t, with s = tanh(raw_s) * s_log_scale + s_bias."""
 
-    def __init__(self, dims, masking="checkerboard", odd=False, base_filters=32):
+    def __init__(self, dims, masking="checkerboard", odd=False, base_filters=32,
+                 compute_dtype=None):
         super().__init__(dims, masking, odd)
         self.net, self.out_chs = _make_conditioner(
-            dims, masking, odd, 2, self.half_dims(), base_filters)
+            dims, masking, odd, 2, self.half_dims(), base_filters, compute_dtype)
 
     def init(self, key):
         k1, k2, k3 = jax.random.split(key, 3)
@@ -141,6 +148,7 @@ class AffineCoupling(_CouplingBase):
     def _params_st(self, var, z1, ctx):
         sub = {"params": var["params"]["net"], "state": var["state"]["net"]}
         raw, net_state = self.net.apply(sub, z1, ctx.child(0))
+        raw = raw.astype(jnp.float32)  # flow math stays f32
         # channel-last layout: first out_chs channels are t, rest raw-s
         t = raw[..., : self.out_chs]
         raw_s = raw[..., self.out_chs :]

@@ -51,6 +51,17 @@ class NetworkConfig:
     resample_masks: bool = False
     # conditioner width (reference MLP/ConvNet base_filters=32)
     base_filters: int = 32
+    # XLA matmul/conv precision ("bfloat16" | "float32" | "highest").
+    # None = auto: bfloat16 for image stacks on TPU (2.4x train step,
+    # IMG_MFU_PROBE.json), XLA default elsewhere.  This selects the MXU
+    # pass count for f32 operands; tensor dtypes are unchanged.
+    matmul_precision: Optional[str] = None
+    # conditioner compute dtype: "float32" (reference numerics) or
+    # "bfloat16" (mixed precision: f32 master weights, f32 batch-norm
+    # stats and flow/logdet math; bf16 conv/matmul activations).  The
+    # image-tier train step is bandwidth-bound at f32 — bf16 halves
+    # activation HBM traffic and runs single-pass on the MXU.
+    compute_dtype: str = "float32"
     # rematerialize per-layer activations in backward (HBM saver)
     remat: bool = False
     # compose repeated homogeneous blocks with lax.scan instead of

@@ -27,6 +27,8 @@ _PERIOD = 6
 def build_glow(dims, datatype=None, cfg=None) -> FlowModel:
     n_layers = cfg.layers
     bf = getattr(cfg, "base_filters", 32)
+    cd = getattr(cfg, "compute_dtype", "float32")
+    cd = None if cd in (None, "float32") else cd
     remat = getattr(cfg, "remat", False)
     scan = getattr(cfg, "scan", False)
     layers = []
@@ -46,19 +48,22 @@ def build_glow(dims, datatype=None, cfg=None) -> FlowModel:
                 ActNorm(mid[2]),
                 InvertibleConv1x1(mid[2]),
                 AffineCoupling(mid, masking="checkerboard",
-                               odd=i % 2 != 0, base_filters=bf))])
+                               odd=i % 2 != 0, base_filters=bf,
+                               compute_dtype=cd))])
             layers.append(Squeeze2d(odd=False))
             mid = (mid[0] // 2, mid[1] // 2, mid[2] * 4)
             emit([l for i in range(n_layers) for l in (
                 ActNorm(mid[2]),
                 InvertibleConv1x1(mid[2]),
                 AffineCoupling(mid, masking="channelwise",
-                               odd=i % 2 != 0, base_filters=bf))])
+                               odd=i % 2 != 0, base_filters=bf,
+                               compute_dtype=cd))])
         emit([l for i in range(n_layers + 1) for l in (
             ActNorm(mid[2]),
             InvertibleConv1x1(mid[2]),
             AffineCoupling(mid, masking="checkerboard",
-                           odd=i % 2 != 0, base_filters=bf))])
+                           odd=i % 2 != 0, base_filters=bf,
+                               compute_dtype=cd))])
         while mid[0] != h or mid[1] != w:
             layers.append(Unsqueeze2d(odd=False))
             mid = (mid[0] * 2, mid[1] * 2, mid[2] // 4)
@@ -66,7 +71,8 @@ def build_glow(dims, datatype=None, cfg=None) -> FlowModel:
         emit([l for i in range(n_layers) for l in (
             ActNorm(dims[-1]),
             InvertibleConv1x1(dims[-1]),
-            AffineCoupling(dims, odd=i % 2 != 0, base_filters=bf))])
+            AffineCoupling(dims, odd=i % 2 != 0, base_filters=bf,
+                               compute_dtype=cd))])
     if scan and len(layers) == 1:
         return FlowModel("glow", layers[0], dims)
     return FlowModel("glow", Chain(layers, remat=remat and not scan), dims)

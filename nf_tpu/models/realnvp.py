@@ -29,6 +29,8 @@ _PERIOD = 4
 def build_realnvp(dims, datatype=None, cfg=None) -> FlowModel:
     n_layers = cfg.layers
     bf = getattr(cfg, "base_filters", 32)
+    cd = getattr(cfg, "compute_dtype", "float32")
+    cd = None if cd in (None, "float32") else cd
     remat = getattr(cfg, "remat", False)
     scan = getattr(cfg, "scan", False)
     layers = []
@@ -47,24 +49,28 @@ def build_realnvp(dims, datatype=None, cfg=None) -> FlowModel:
             emit([l for i in range(n_layers) for l in (
                 BatchNorm(mid[2], affine=False),
                 AffineCoupling(mid, masking="checkerboard",
-                               odd=i % 2 != 0, base_filters=bf))])
+                               odd=i % 2 != 0, base_filters=bf,
+                               compute_dtype=cd))])
             layers.append(Squeeze2d(odd=False))
             mid = (mid[0] // 2, mid[1] // 2, mid[2] * 4)
             emit([l for i in range(n_layers) for l in (
                 BatchNorm(mid[2], affine=False),
                 AffineCoupling(mid, masking="channelwise",
-                               odd=i % 2 != 0, base_filters=bf))])
+                               odd=i % 2 != 0, base_filters=bf,
+                               compute_dtype=cd))])
         emit([l for i in range(n_layers + 1) for l in (
             BatchNorm(mid[2], affine=False),
             AffineCoupling(mid, masking="checkerboard",
-                           odd=i % 2 != 0, base_filters=bf))])
+                           odd=i % 2 != 0, base_filters=bf,
+                               compute_dtype=cd))])
         while mid[0] != h or mid[1] != w:
             layers.append(Unsqueeze2d(odd=False))
             mid = (mid[0] * 2, mid[1] * 2, mid[2] // 4)
     else:
         emit([l for i in range(n_layers) for l in (
             BatchNorm(dims[-1], affine=False),
-            AffineCoupling(dims, odd=i % 2 != 0, base_filters=bf))])
+            AffineCoupling(dims, odd=i % 2 != 0, base_filters=bf,
+                               compute_dtype=cd))])
     if scan and len(layers) == 1:
         return FlowModel("realnvp", layers[0], dims)
     return FlowModel("realnvp", Chain(layers, remat=remat and not scan), dims)

@@ -22,6 +22,17 @@ from .core import Net
 
 _WN_EPS = 1.0e-5
 
+# Mixed precision (opt-in via NetworkConfig.compute_dtype="bfloat16"):
+# master params and weight-norm math stay f32; the effective weight and
+# the activations are cast to the compute dtype so conv/matmul run as
+# single-pass bf16 MXU ops and activation HBM traffic halves.  The
+# image-tier train path is bandwidth-bound at f32 (BENCH_DETAIL
+# rooflines), which is where this buys throughput.
+def _maybe_cast(x, dtype):
+    if dtype is None or x.dtype == dtype:
+        return x
+    return x.astype(dtype)
+
 
 def _kaiming_uniform(key, shape, fan_in):
     bound = float(np.sqrt(1.0 / fan_in))
@@ -36,10 +47,12 @@ class Dense(Net):
     (in, out) layout g[j] = ||W[j, :]|| and w = v * (g/(||v||+eps))[:, None].
     """
 
-    def __init__(self, in_features: int, out_features: int, weight_norm: bool = True):
+    def __init__(self, in_features: int, out_features: int, weight_norm: bool = True,
+                 compute_dtype=None):
         self.in_features = in_features
         self.out_features = out_features
         self.weight_norm = weight_norm
+        self.compute_dtype = jnp.dtype(compute_dtype) if compute_dtype else None
 
     def init(self, key):
         kw, kb = jax.random.split(key)
@@ -61,7 +74,10 @@ class Dense(Net):
 
     def apply(self, var, x, ctx):
         p = var["params"]
-        return x @ self._weight(p) + p["b"], var["state"]
+        d = self.compute_dtype
+        w = _maybe_cast(self._weight(p), d)
+        x = _maybe_cast(x, d)
+        return x @ w + _maybe_cast(p["b"], d), var["state"]
 
 
 class Conv2d(Net):
@@ -74,11 +90,12 @@ class Conv2d(Net):
     """
 
     def __init__(self, in_channels: int, out_channels: int, kernel_size: int = 3,
-                 weight_norm: bool = True):
+                 weight_norm: bool = True, compute_dtype=None):
         self.in_channels = in_channels
         self.out_channels = out_channels
         self.kernel_size = kernel_size
         self.weight_norm = weight_norm
+        self.compute_dtype = jnp.dtype(compute_dtype) if compute_dtype else None
 
     def init(self, key):
         kw, kb = jax.random.split(key)
@@ -102,11 +119,13 @@ class Conv2d(Net):
 
     def apply(self, var, x, ctx):
         p = var["params"]
+        d = self.compute_dtype
         y = jax.lax.conv_general_dilated(
-            x, self._weight(p), window_strides=(1, 1), padding="SAME",
+            _maybe_cast(x, d), _maybe_cast(self._weight(p), d),
+            window_strides=(1, 1), padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        return y + p["b"], var["state"]
+        return y + _maybe_cast(p["b"], d), var["state"]
 
 
 class BatchNormNet(Net):
@@ -129,13 +148,18 @@ class BatchNormNet(Net):
     def apply(self, var, x, ctx):
         p, s = var["params"], dict(var["state"])
         axes = tuple(range(x.ndim - 1))
+        # batch statistics always in f32 (a bf16 mean over 1M elements
+        # loses ~3 digits); the normalized output keeps x's dtype so a
+        # bf16 conditioner stays bf16 end to end
+        xf = x.astype(jnp.float32)
         if ctx.train:
-            mean = jnp.mean(x, axis=axes)
-            varb = jnp.mean((x - mean) ** 2, axis=axes)
+            mean = jnp.mean(xf, axis=axes)
+            varb = jnp.mean((xf - mean) ** 2, axis=axes)
             m = self.momentum
             s["running_mean"] = (1 - m) * s["running_mean"] + m * jax.lax.stop_gradient(mean)
             s["running_var"] = (1 - m) * s["running_var"] + m * jax.lax.stop_gradient(varb)
         else:
             mean, varb = s["running_mean"], s["running_var"]
-        y = (x - mean) * jax.lax.rsqrt(varb + self.eps)
-        return y * p["gamma"] + p["beta"], s
+        y = (xf - mean) * jax.lax.rsqrt(varb + self.eps)
+        y = y * p["gamma"] + p["beta"]
+        return y.astype(x.dtype), s

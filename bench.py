@@ -121,6 +121,30 @@ def bench_model(name, detail):
     tc_i = timeit(lambda: ci(var, z))
     entry["chain_jit_fwd_inv_samples_per_s"] = EVAL_BATCH / (tc_f + tc_i)
 
+    # ---- dispatch-proof chain timing: K fwd+inv round trips inside ONE
+    # dispatch (lax.scan), repeated 3x -> min/median/max.  The per-call
+    # numbers above ride the tunnel's dispatch latency, which swung chain
+    # ratios up to 11x between round-4 invocations; this path times the
+    # on-device cost.  The >=4x-vs-baseline target is asserted at the MIN.
+    K = 8 if (tc_f + tc_i) < 0.25 else 2
+
+    def chain_k(v, x):
+        def body(c, _):
+            zz, ldf, _ = model.forward(v, c, ctx)
+            xx, ldi, _ = model.inverse(v, zz, ctx)
+            return xx, ldf + ldi
+        return jax.lax.scan(body, x, None, length=K)
+
+    cs = jax.jit(chain_k)
+    pair_runs = sorted(timeit(lambda: cs(var, y), iters=10) / K
+                       for _ in range(3))
+    entry["chain_scan_fwd_inv_samples_per_s"] = {
+        "min": EVAL_BATCH / pair_runs[2],
+        "median": EVAL_BATCH / pair_runs[1],
+        "max": EVAL_BATCH / pair_runs[0],
+        "scan_K": K,
+    }
+
     # ---- on-device fused-vs-chain parity (serving path must match the
     # validated Chain math on the real chip, not just in interpret mode).
     # For deep nonlinear stacks (flow++) the two paths carry equally-valid
@@ -149,8 +173,16 @@ def bench_model(name, detail):
         ts, losses = tr.train_steps(ts, chunk)
         return losses
 
-    t_chunk = timeit(run_chunk, iters=20)
+    # 3 invocations -> min/median/max (dispatch-latency spread); the
+    # chunked step is already one dispatch per TRAIN_CHUNK steps
+    tr_runs = sorted(timeit(run_chunk, iters=20) for _ in range(3))
+    t_chunk = tr_runs[1]
     entry["train_samples_per_s"] = TRAIN_CHUNK * TRAIN_BATCH / t_chunk
+    entry["train_samples_per_s_spread"] = {
+        "min": TRAIN_CHUNK * TRAIN_BATCH / tr_runs[2],
+        "median": TRAIN_CHUNK * TRAIN_BATCH / tr_runs[1],
+        "max": TRAIN_CHUNK * TRAIN_BATCH / tr_runs[0],
+    }
 
     # ---- roofline: XLA cost analysis of the Chain fwd+inv (the fused
     # Pallas kernel is opaque to cost analysis; FLOPs are a property of
@@ -258,40 +290,55 @@ def bench_image_model(name, detail):
         ts, losses = tr.train_steps(ts, chunk)
         return losses
 
-    t_chunk = timeit(run_chunk, iters=10)
+    tr_runs = sorted(timeit(run_chunk, iters=10) for _ in range(3))
+    t_chunk = tr_runs[1]
     entry["train_samples_per_s"] = IMG_TRAIN_CHUNK * IMG_TRAIN_BATCH / t_chunk
     entry["train_s_per_step"] = t_chunk / IMG_TRAIN_CHUNK
+    entry["train_samples_per_s_spread"] = {
+        "min": IMG_TRAIN_CHUNK * IMG_TRAIN_BATCH / tr_runs[2],
+        "median": IMG_TRAIN_CHUNK * IMG_TRAIN_BATCH / tr_runs[1],
+        "max": IMG_TRAIN_CHUNK * IMG_TRAIN_BATCH / tr_runs[0],
+    }
 
-    # ---- roofline (XLA cost analysis; fwd+inv and the train step)
+    # ---- roofline (scan-aware analytic cost: XLA cost_analysis counts a
+    # lax.scan body once, not x trip count, so the raw numbers understate
+    # scanned image stacks by ~the coupling count — round-4's committed
+    # "0.16% of peak" image rows were this accounting artifact)
     ctx = Ctx(rng=None, train=False)
     var = ts.var
     try:
-        rl_f = roofline_estimate(lambda v, x: model.forward(v, x, ctx)[:2],
-                                 var, y, measured_seconds=None)
-        rl_i = roofline_estimate(lambda v, x: model.inverse(v, x, ctx)[:2],
-                                 var, z, measured_seconds=None)
+        from nf_tpu.utils.profiling import model_flops
+        rl_f = model_flops(model, var, y, ctx, "forward")
+        rl_i = model_flops(model, var, z, ctx, "inverse")
         t_pair = IMG_EVAL_BATCH / entry["eval_program_fwd_inv_samples_per_s"]
         flops = rl_f["flops"] + rl_i["flops"]
         bytes_ = rl_f["bytes_accessed"] + rl_i["bytes_accessed"]
-        peak = 197e12 / 2  # f32-on-v5e context used zoo-wide
+        # image convs run single-pass bf16 on the MXU (auto matmul
+        # precision, models/__init__.py) -> bf16 peak is the right ceiling
+        peak = 197e12
+        ridge = peak / (819.0 * 1e9)
         entry["roofline"] = {
             "flops_fwd_inv": flops,
             "flops_per_sample": flops / IMG_EVAL_BATCH,
             "bytes_accessed": bytes_,
             "arithmetic_intensity": flops / max(bytes_, 1.0),
-            "ridge_intensity": rl_f["ridge_intensity"],
+            "ridge_intensity": ridge,
+            "peak_tflops_context": peak / 1e12,
             "eval_achieved_tflops": flops / t_pair / 1e12,
             "eval_pct_of_peak_flops": 100.0 * flops / t_pair / peak,
+            "accounting": "scan-aware analytic (profiling.model_flops)",
         }
-        rl_t = roofline_estimate(
-            lambda s, b, k: tr._step_fn(s, b, k)[1],
-            ts, jnp.asarray(chunk[0]), jax.random.PRNGKey(1),
-            measured_seconds=entry["train_s_per_step"])
-        entry["roofline"]["train_flops_per_step"] = rl_t["flops"]
+        # train step ~= fwd (1x) + bwd (2x) + remat re-forward (1x)
+        train_mult = 4.0
+        train_flops = train_mult * rl_f["flops"] * (IMG_TRAIN_BATCH
+                                                    / IMG_EVAL_BATCH)
+        entry["roofline"]["train_flops_per_step"] = train_flops
+        entry["roofline"]["train_flops_note"] = (
+            "analytic fwd x4 (fwd + 2x bwd + remat re-fwd)")
         entry["roofline"]["train_achieved_tflops"] = (
-            rl_t.get("achieved_flops_per_s", 0.0) / 1e12)
+            train_flops / entry["train_s_per_step"] / 1e12)
         entry["roofline"]["train_pct_of_peak_flops"] = (
-            rl_t.get("pct_of_peak_flops", 0.0))
+            100.0 * train_flops / entry["train_s_per_step"] / peak)
     except Exception as e:
         entry["roofline_error"] = repr(e)
 
@@ -374,6 +421,15 @@ def main():
                 entry["vs_baseline"]["chain_jit_fwd_inv"] = (
                     entry["chain_jit_fwd_inv_samples_per_s"]
                     / ref["fwd_inv_samples_per_s"])
+            # dispatch-proof ratios, asserted at the MIN of 3 invocations
+            if "chain_scan_fwd_inv_samples_per_s" in entry:
+                entry["vs_baseline"]["chain_scan_fwd_inv_min"] = (
+                    entry["chain_scan_fwd_inv_samples_per_s"]["min"]
+                    / ref["fwd_inv_samples_per_s"])
+            if "train_samples_per_s_spread" in entry:
+                entry["vs_baseline"]["train_min"] = (
+                    entry["train_samples_per_s_spread"]["min"]
+                    / ref["train_samples_per_s"])
 
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=2)

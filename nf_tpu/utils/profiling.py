@@ -69,6 +69,56 @@ def cost_analysis(fn, *args):
     return ca or {}
 
 
+def _acc(a: dict, b: dict, mult: float = 1.0):
+    a["flops"] += mult * b.get("flops", 0.0)
+    a["bytes_accessed"] += mult * b.get("bytes_accessed",
+                                        b.get("bytes accessed", 0.0))
+
+
+def bijector_cost(bij, var, x, ctx, method: str = "forward") -> tuple:
+    """Scan-aware analytic cost of ``bij.<method>``: (cost_dict, y).
+
+    XLA's ``cost_analysis`` counts a ``lax.scan``/while body ONCE, not
+    multiplied by its trip count — which understated the committed image
+    rooflines by ~the coupling count (round-4 BENCH_DETAIL reported the
+    161-coupling glow-img32x3 train step at 0.16% of peak; the true
+    figure is ~50x higher).  This walker descends Chain/ScannedChain
+    structure, costs each distinct block once, and multiplies scanned
+    blocks by their repeat count.  Runs the transform eagerly to thread
+    real intermediate shapes.
+    """
+    import jax as _jax
+    from ..core.bijector import Chain, ScannedChain
+
+    total = {"flops": 0.0, "bytes_accessed": 0.0}
+    if isinstance(bij, Chain):
+        order = (range(len(bij.layers)) if method == "forward"
+                 else reversed(range(len(bij.layers))))
+        for i in order:
+            sub = Chain._sub(var, i)
+            c, x = bijector_cost(bij.layers[i], sub, x, ctx.child(i), method)
+            _acc(total, c)
+        return total, x
+    if isinstance(bij, ScannedChain):
+        # all blocks share shapes; cost block 0 once and scale
+        sub0 = _jax.tree_util.tree_map(lambda a: a[0], var)
+        c, _ = bijector_cost(bij.blocks[0], sub0, x, ctx.child(0), method)
+        _acc(total, c, mult=bij.n)
+        y, _, _ = getattr(bij, method)(var, x, ctx)
+        return total, y
+    ca = cost_analysis(
+        lambda v, xx: getattr(bij, method)(v, xx, ctx)[:2], var, x)
+    _acc(total, ca)
+    y, _, _ = getattr(bij, method)(var, x, ctx)
+    return total, y
+
+
+def model_flops(model, var, x, ctx, method: str = "forward") -> dict:
+    """Scan-aware cost of a FlowModel pass (see ``bijector_cost``)."""
+    cost, _ = bijector_cost(model.bijector, var, x, ctx, method)
+    return cost
+
+
 def roofline_estimate(fn, *args, chip: str = "v5e",
                       measured_seconds: Optional[float] = None) -> dict:
     """Report arithmetic intensity and (if measured) peak utilization."""

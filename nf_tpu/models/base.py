@@ -71,10 +71,13 @@ class FlowModel:
             spec = None
             if isinstance(self.bijector, Chain):
                 from ..ops.pallas.fused_flowpp import extract_flowpp_spec
+                from ..ops.pallas.fused_resflow import extract_resflow_spec
                 from ..ops.pallas.fused_stack import extract_stack_spec
                 spec = extract_stack_spec(self.bijector, self.dims)
                 if spec is None:
                     spec = extract_flowpp_spec(self.bijector, self.dims)
+                if spec is None:
+                    spec = extract_resflow_spec(self.bijector, self.dims)
             self._fused_spec_cache = spec
         return self._fused_spec_cache
 
@@ -129,7 +132,37 @@ class EvalProgram:
         on_tpu = jax.devices()[0].platform == "tpu"
         self._ctx = Ctx(rng=None, train=False)
 
-        if spec is not None and on_tpu:
+        if spec is not None and on_tpu and \
+                getattr(spec, "kind", "affine") == "resflow":
+            # ResFlow: fuse the fixed-point SOLVE (the 20.9 ms of the
+            # 29.9 ms inverse, RESFLOW_FIXPOINT_PROBE.json) into one
+            # kernel; the log-det series estimator keeps its XLA path by
+            # replaying one forward at the solved x — forward from the
+            # solved x reproduces every block's solved input exactly
+            # (x_j + g(x_j) = z_j), so estimator values and rng semantics
+            # match the chain inverse.
+            from ..ops.pallas.fused_resflow import (call_solve,
+                                                    make_solve_kernel,
+                                                    pack_resflow)
+            import numpy as _np
+            bij = model.bijector
+            packed = jax.jit(lambda v: pack_resflow(bij, spec, v))(var)
+            packed = jax.tree.map(
+                lambda a: jax.device_put(_np.asarray(a)), packed)
+            kern = make_solve_kernel(spec)
+            var_f = jax.tree.map(jnp.asarray, var)
+
+            fwd = jax.jit(lambda x: bij.forward(var_f, x, self._ctx)[:2])
+
+            @jax.jit
+            def run_i(p, z):
+                x = call_solve(kern, spec, p, z, False)
+                _, ld = bij.forward(var_f, x, self._ctx)[:2]
+                return x, -ld
+
+            self._fwd = fwd
+            self._inv = lambda z: run_i(packed, z)
+        elif spec is not None and on_tpu:
             if getattr(spec, "kind", "affine") == "flowpp":
                 from ..ops.pallas.fused_flowpp import (
                     call_flowpp as _call, _make_kernels_flowpp as

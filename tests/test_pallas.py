@@ -269,3 +269,54 @@ def test_fused_flowpp_spec_rejects_nonmatching(rng):
     cfg.network = NetworkConfig(name="realnvp", layers=4)
     mr = build_model("realnvp", (2,), datatype="2d", cfg=cfg.network)
     assert extract_flowpp_spec(mr.bijector, mr.dims) is None
+
+
+# --------------------------------------------------------------- resflow
+def _build_resflow(layers=4):
+    from nf_tpu.config import Config, NetworkConfig, NETWORK_DEFAULTS
+    from nf_tpu.models import build_model
+    cfg = Config()
+    cfg.network = NetworkConfig(name="resflow",
+                                **{**NETWORK_DEFAULTS["resflow"],
+                                   "layers": layers})
+    return cfg, build_model("resflow", (2,), datatype="2d", cfg=cfg.network)
+
+
+def test_fused_resflow_solve_matches_chain(rng):
+    """The fused fixed-point solve recovers the chain inverse's x (and the
+    forward-replay logdet matches the chain inverse's logdet)."""
+    from nf_tpu.core import Ctx
+    from nf_tpu.ops.pallas.fused_resflow import (extract_resflow_spec,
+                                                 fused_resflow_inverse_solve)
+    cfg, model = _build_resflow(layers=4)
+    spec = extract_resflow_spec(model.bijector, (2,))
+    assert spec is not None and spec.kind == "resflow"
+    assert spec.n_repeats == 4 and spec.dim == 2
+
+    var = model.init(rng)
+    x0 = jax.random.normal(jax.random.fold_in(rng, 1), (256, 2))
+    train_ctx = Ctx(rng=None, train=True)
+    var = jax.jit(
+        lambda v, b: model.bijector.dd_init(v, b, train_ctx)[0])(var, x0)
+
+    ctx = Ctx(rng=None, train=False)
+    z, _, _ = model.forward(var, x0, ctx)
+    x_chain, ld_chain, _ = model.inverse(var, z, ctx)
+    x_fused = fused_resflow_inverse_solve(model.bijector, spec, var, z,
+                                          interpret=True)
+    np.testing.assert_allclose(np.asarray(x_fused), np.asarray(x_chain),
+                               atol=5e-4)
+    # forward replay at the solved x reproduces the inverse logdet
+    _, ld_replay, _ = model.forward(var, x_fused, ctx)
+    np.testing.assert_allclose(np.asarray(-ld_replay), np.asarray(ld_chain),
+                               atol=1e-3)
+
+
+def test_resflow_spec_rejects_nonmatching(rng):
+    from nf_tpu.ops.pallas.fused_resflow import extract_resflow_spec
+    from nf_tpu.config import Config, NetworkConfig
+    from nf_tpu.models import build_model
+    cfg = Config()
+    cfg.network = NetworkConfig(name="realnvp", layers=4)
+    m = build_model("realnvp", (2,), datatype="2d", cfg=cfg.network)
+    assert extract_resflow_spec(m.bijector, (2,)) is None

@@ -159,6 +159,15 @@ def bench_model(name, detail):
     entry["fused_vs_chain_fwd_median_abs_err"] = float(np.median(dz))
     entry["fused_vs_chain_logdet_max_abs_err"] = float(
         jnp.max(jnp.abs(ldf - ldc)))
+    # inverse-path parity too: for resflow the fused kernel IS the inverse
+    # (fixed-point solve, ops/pallas/fused_resflow.py) and the forward is
+    # the plain chain
+    xf_i, ldf_i = prog.inverse(z)
+    xc_i, ldc_i = ci(var, z)
+    dxi = np.abs(np.asarray(xf_i) - np.asarray(xc_i))
+    entry["fused_vs_chain_inv_max_abs_err"] = float(dxi.max())
+    entry["fused_vs_chain_inv_logdet_max_abs_err"] = float(
+        jnp.max(jnp.abs(ldf_i - ldc_i)))
 
     # ---- train-step throughput (chunked steps, reference batch size)
     tr = Trainer(model, cfg.optimizer, seed=0)

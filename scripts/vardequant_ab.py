@@ -32,11 +32,16 @@ import numpy as np
 # see trainer.py) and (b) this script not enabling the persistent compile
 # cache (fixed below); the actual cold compile is ~35 s
 # (COMPILE_PROFILE.json) and warm loads are seconds.
-IMG, C = 16, 1
+# defaults reproduce the round-4 16x16 entry; env overrides let the A/B
+# run at the north-star scale (VERDICT r4 item 6):
+#   NF_AB_IMG=32 NF_AB_C=3 NF_AB_LAYERS=32 NF_AB_BATCH=256 \
+#       python scripts/vardequant_ab.py 2000
+IMG = int(os.environ.get("NF_AB_IMG", 16))
+C = int(os.environ.get("NF_AB_C", 1))
 D = IMG * IMG * C
-BATCH = 128
-LAYERS = 4
-MIXTURES = 4
+BATCH = int(os.environ.get("NF_AB_BATCH", 128))
+LAYERS = int(os.environ.get("NF_AB_LAYERS", 4))
+MIXTURES = int(os.environ.get("NF_AB_MIXTURES", 4))
 N_TRAIN = 10240
 N_HELDOUT = 2048
 N_NOISE = 8
@@ -44,7 +49,8 @@ N_NOISE = 8
 
 def build_data():
     from nf_tpu.data.images import synthetic_images
-    x = synthetic_images("mnist", N_TRAIN + N_HELDOUT, seed=777)
+    x = synthetic_images("cifar10" if C == 3 else "mnist",
+                         N_TRAIN + N_HELDOUT, seed=777)
     k = 32 // IMG
     x = x[:, ::k, ::k, :]
     x = np.round(x * 255.0) / 255.0  # raw quantized pixels in [0,1]
@@ -115,7 +121,8 @@ def run(var_dequant: bool, steps: int):
 
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
-    out = {"dataset": f"synthetic-mnist-{IMG}x{IMG}-8bit",
+    name = "cifar10" if C == 3 else "mnist"
+    out = {"dataset": f"synthetic-{name}-{IMG}x{IMG}x{C}-8bit",
            "model": f"flow++ image, layers={LAYERS}, mixtures={MIXTURES}",
            "steps": steps, "batch": BATCH, "noise_draws": N_NOISE}
     for tag, vd in (("uniform", False), ("var_dequant", True)):
@@ -124,8 +131,18 @@ def main():
         print(f"{tag}: {bpd:.4f} bits/dim ({minutes:.1f} min)", flush=True)
     out["delta_bits_per_dim"] = (out["uniform"]["bits_per_dim_discrete"]
                                  - out["var_dequant"]["bits_per_dim_discrete"])
-    with open(os.path.join(REPO, "VARDEQUANT_AB.json"), "w") as f:
-        json.dump(out, f, indent=2)
+    # merge into the committed artifact: one entry per config scale
+    path = os.path.join(REPO, "VARDEQUANT_AB.json")
+    doc = {}
+    if os.path.exists(path):
+        doc = json.load(open(path))
+        if "runs" not in doc:  # legacy single-config layout
+            doc = {"runs": {f"16x16x1_L4_s{doc.get('steps', 2000)}": doc}}
+    else:
+        doc = {"runs": {}}
+    doc["runs"][f"{IMG}x{IMG}x{C}_L{LAYERS}_s{steps}"] = out
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=2)
     print(json.dumps(out))
 
 

@@ -272,6 +272,29 @@ def bench_image_model(name, detail):
     entry["eval_program_fwd_inv_runs"] = runs
     entry["fused_stack"] = False
 
+    # dispatch-proof image eval: K fwd+inv pairs inside ONE dispatch — the
+    # per-call numbers above carry a 12.6 MB/call host<->device transfer
+    # over the tunnel plus dispatch latency
+    K_img = 4
+    var_ = ts.var
+
+    def eval_k(v, x):
+        def body(c, _):
+            zz, ldf, _ = model.forward(v, c, Ctx(rng=None, train=False))
+            xx, ldi, _ = model.inverse(v, zz, Ctx(rng=None, train=False))
+            return xx, ldf + ldi
+        return jax.lax.scan(body, x, None, length=K_img)
+
+    es = jax.jit(eval_k)
+    pair_runs = sorted(timeit(lambda: es(var_, y), iters=6) / K_img
+                       for _ in range(3))
+    entry["eval_scan_fwd_inv_samples_per_s"] = {
+        "min": IMG_EVAL_BATCH / pair_runs[2],
+        "median": IMG_EVAL_BATCH / pair_runs[1],
+        "max": IMG_EVAL_BATCH / pair_runs[0],
+        "scan_K": K_img,
+    }
+
     # round-trip consistency on the measured program (throughput numbers
     # should come from a program that actually inverts).  NOTE: at RANDOM
     # init the 161-coupling stack amplifies per-layer bf16-conv rounding
@@ -434,6 +457,10 @@ def main():
             if "chain_scan_fwd_inv_samples_per_s" in entry:
                 entry["vs_baseline"]["chain_scan_fwd_inv_min"] = (
                     entry["chain_scan_fwd_inv_samples_per_s"]["min"]
+                    / ref["fwd_inv_samples_per_s"])
+            if "eval_scan_fwd_inv_samples_per_s" in entry:
+                entry["vs_baseline"]["eval_scan_fwd_inv_min"] = (
+                    entry["eval_scan_fwd_inv_samples_per_s"]["min"]
                     / ref["fwd_inv_samples_per_s"])
             if "train_samples_per_s_spread" in entry:
                 entry["vs_baseline"]["train_min"] = (

@@ -141,9 +141,12 @@ class EvalProgram:
             # solved x reproduces every block's solved input exactly
             # (x_j + g(x_j) = z_j), so estimator values and rng semantics
             # match the chain inverse.
-            from ..ops.pallas.fused_resflow import (call_solve,
+            from ..ops.pallas.fused_resflow import (call_fwd_logdet,
+                                                    call_solve,
+                                                    call_solve_logdet,
                                                     make_solve_kernel,
                                                     pack_resflow)
+            import os as _os
             import numpy as _np
             bij = model.bijector
             packed = jax.jit(lambda v: pack_resflow(bij, spec, v))(var)
@@ -154,13 +157,35 @@ class EvalProgram:
 
             fwd = jax.jit(lambda x: bij.forward(var_f, x, self._ctx)[:2])
 
-            @jax.jit
-            def run_i(p, z):
-                x = call_solve(kern, spec, p, z, False)
-                _, ld = bij.forward(var_f, x, self._ctx)[:2]
-                return x, -ld
+            # Preferred inverse: solve + logdet series in ONE kernel, the
+            # estimator's probes/series-lengths drawn XLA-side with the
+            # chain path's exact key structure (fused_resflow.py:
+            # draw_unbias_probes) — values match the chain inverse to
+            # float tolerance.  Fallback (non-'unbias' estimators, or
+            # NF_TPU_RESFLOW_FUSED_LOGDET=0): fused solve + one XLA chain
+            # forward replay at the solved x.
+            fused_ld = (spec.estimator == "unbias"
+                        and _os.environ.get(
+                            "NF_TPU_RESFLOW_FUSED_LOGDET", "1") != "0")
 
-            self._fwd = fwd
+            if fused_ld:
+                @jax.jit
+                def run_f(p, x):
+                    return call_fwd_logdet(spec, p, x, False)
+
+                @jax.jit
+                def run_i(p, z):
+                    return call_solve_logdet(spec, p, z, False)
+
+                self._fwd = lambda x: run_f(packed, x)
+            else:
+                @jax.jit
+                def run_i(p, z):
+                    x = call_solve(kern, spec, p, z, False)
+                    _, ld = bij.forward(var_f, x, self._ctx)[:2]
+                    return x, -ld
+
+                self._fwd = fwd
             self._inv = lambda z: run_i(packed, z)
         elif spec is not None and on_tpu:
             if getattr(spec, "kind", "affine") == "flowpp":

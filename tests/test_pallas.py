@@ -312,6 +312,44 @@ def test_fused_resflow_solve_matches_chain(rng):
                                atol=1e-3)
 
 
+def test_fused_resflow_logdet_matches_chain(rng):
+    """The solve+logdet and forward+logdet kernels reproduce the chain
+    paths' estimator VALUES (not just distribution): probes and RR series
+    lengths are drawn XLA-side with the chain's exact key structure
+    (fused_resflow.draw_unbias_probes), so the only differences are float
+    reassociation and fixed-point tolerance."""
+    from nf_tpu.core import Ctx
+    from nf_tpu.ops.pallas.fused_resflow import (extract_resflow_spec,
+                                                 fused_resflow_forward,
+                                                 fused_resflow_inverse)
+    cfg, model = _build_resflow(layers=4)
+    spec = extract_resflow_spec(model.bijector, (2,))
+    assert spec is not None and spec.estimator == "unbias"
+
+    var = model.init(rng)
+    x0 = jax.random.normal(jax.random.fold_in(rng, 1), (256, 2))
+    train_ctx = Ctx(rng=None, train=True)
+    var = jax.jit(
+        lambda v, b: model.bijector.dd_init(v, b, train_ctx)[0])(var, x0)
+
+    ctx = Ctx(rng=None, train=False)
+    z_chain, ld_fwd_chain, _ = model.forward(var, x0, ctx)
+    z_f, ld_fwd_f = fused_resflow_forward(model.bijector, spec, var, x0,
+                                          interpret=True)
+    np.testing.assert_allclose(np.asarray(z_f), np.asarray(z_chain),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ld_fwd_f),
+                               np.asarray(ld_fwd_chain), atol=1e-4)
+
+    x_chain, ld_chain, _ = model.inverse(var, z_chain, ctx)
+    x_f, ld_f = fused_resflow_inverse(model.bijector, spec, var, z_chain,
+                                      interpret=True)
+    np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_chain),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(ld_f), np.asarray(ld_chain),
+                               atol=1e-3)
+
+
 def test_resflow_spec_rejects_nonmatching(rng):
     from nf_tpu.ops.pallas.fused_resflow import extract_resflow_spec
     from nf_tpu.config import Config, NetworkConfig
